@@ -1,0 +1,159 @@
+"""Metric stack tests: python scorers sanity + device CIDEr-D parity with
+the host scorer (the golden-test pattern from SURVEY.md §4)."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unpaired_image_captioning_tpu.eval.metrics import (Bleu, Cider, CiderD,
+                                                        Meteor, Rouge,
+                                                        corpus_bleu,
+                                                        sentence_bleu)
+from unpaired_image_captioning_tpu.eval.metrics.cider import (compute_doc_freq,
+                                                              precook)
+from unpaired_image_captioning_tpu.ops import cider as dev_cider
+
+GTS = {
+    1: ["a man is riding a horse", "a person rides a brown horse",
+        "a man on a horse"],
+    2: ["two dogs play in the park", "dogs playing on grass"],
+    3: ["a cat sits on a mat", "the cat is on the mat"],
+}
+RES = {
+    1: ["a man is riding a horse"],
+    2: ["a dog plays in the park"],
+    3: ["a dog sits on the grass"],
+}
+
+
+def test_bleu_perfect_match_is_high():
+    bleu = Bleu(4)
+    scores, per_img = bleu.compute_score({1: GTS[1]}, {1: RES[1]})
+    assert scores[0] > 0.99 and scores[3] > 0.99
+    assert len(per_img[0]) == 1
+
+
+def test_bleu_orders_quality():
+    scores, per_img = Bleu(4).compute_score(GTS, RES)
+    # exact match image should outscore the others per-image
+    assert per_img[3][0] > per_img[3][1]
+    assert per_img[3][0] > per_img[3][2]
+    assert all(0 <= s <= 1 for s in scores)
+
+
+def test_sentence_and_corpus_bleu():
+    h = "a man is riding a horse".split()
+    refs = [g.split() for g in GTS[1]]
+    assert sentence_bleu(h, refs) > 0.99
+    b, ps = corpus_bleu([h], [refs])
+    assert b > 0.99 and len(ps) == 4
+
+
+def test_rouge():
+    mean, scores = Rouge().compute_score(GTS, RES)
+    assert scores[0] > 0.99
+    assert 0 < mean <= 1
+
+
+def test_meteor():
+    mean, scores = Meteor().compute_score(GTS, RES)
+    assert scores[0] > 0.9
+    assert scores[0] > scores[1]
+
+
+def test_cider_exact_match_highest():
+    mean, scores = CiderD().compute_score(GTS, RES)
+    assert scores[0] == max(scores)
+    mean2, scores2 = Cider().compute_score(GTS, RES)
+    assert scores2[0] == max(scores2)
+
+
+def _encode(sent, w2i, t=12):
+    out = np.zeros((t,), np.int32)
+    for i, w in enumerate(sent.split()[:t]):
+        out[i] = w2i[w]
+    return out
+
+
+def test_device_cider_matches_host():
+    """On-device hashed CIDEr-D == host dict-based CIDEr-D (same df table)."""
+    vocab = sorted({w for v in list(GTS.values()) + list(RES.values())
+                    for s in v for w in s.split()})
+    w2i = {w: i + 1 for i, w in enumerate(vocab)}
+
+    # df over the gts (like prepro_ngrams builds it over training refs)
+    crefs = [[precook(r) for r in GTS[i]] for i in sorted(GTS)]
+    df_words = compute_doc_freq(crefs)
+    ref_len = float(len(crefs))
+    host = CiderD(df=df_words, ref_len=math.log(ref_len))
+    _, host_scores = host.compute_score(GTS, RES)
+
+    df_ids = {tuple(w2i[w] for w in ng): v for ng, v in df_words.items()}
+    table = dev_cider.build_df_table(df_ids, ref_len)
+
+    ids = sorted(GTS)
+    maxr = max(len(GTS[i]) for i in ids)
+    cand = np.stack([_encode(RES[i][0], w2i) for i in ids])
+    refs = np.zeros((len(ids), maxr, 12), np.int32)
+    mask = np.zeros((len(ids), maxr), np.float32)
+    for bi, i in enumerate(ids):
+        for ri, rsent in enumerate(GTS[i]):
+            refs[bi, ri] = _encode(rsent, w2i)
+            mask[bi, ri] = 1.0
+    dev_scores = dev_cider.cider_d(jnp.asarray(cand), jnp.asarray(refs),
+                                   jnp.asarray(mask), table)
+    np.testing.assert_allclose(np.asarray(dev_scores), host_scores,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_device_bleu_reasonable():
+    vocab = sorted({w for v in list(GTS.values()) + list(RES.values())
+                    for s in v for w in s.split()})
+    w2i = {w: i + 1 for i, w in enumerate(vocab)}
+    ids = sorted(GTS)
+    maxr = max(len(GTS[i]) for i in ids)
+    cand = np.stack([_encode(RES[i][0], w2i) for i in ids])
+    refs = np.zeros((len(ids), maxr, 12), np.int32)
+    mask = np.zeros((len(ids), maxr), np.float32)
+    for bi, i in enumerate(ids):
+        for ri, rsent in enumerate(GTS[i]):
+            refs[bi, ri] = _encode(rsent, w2i)
+            mask[bi, ri] = 1.0
+    b = np.asarray(dev_cider.bleu4(jnp.asarray(cand), jnp.asarray(refs),
+                                   jnp.asarray(mask)))
+    assert b[0] > 0.99          # exact match
+    assert (b >= 0).all() and (b <= 1).all()
+    assert b[0] > b[1]
+
+
+def test_scst_advantage():
+    from unpaired_image_captioning_tpu.losses.rewards import (
+        get_self_critical_reward)
+
+    vocab = sorted({w for v in list(GTS.values()) + list(RES.values())
+                    for s in v for w in s.split()})
+    w2i = {w: i + 1 for i, w in enumerate(vocab)}
+    crefs = [[precook(r) for r in GTS[i]] for i in sorted(GTS)]
+    df_words = compute_doc_freq(crefs)
+    df_ids = {tuple(w2i[w] for w in ng): v for ng, v in df_words.items()}
+    table = dev_cider.build_df_table(df_ids, float(len(crefs)))
+
+    ids = sorted(GTS)
+    maxr = max(len(GTS[i]) for i in ids)
+    refs = np.zeros((len(ids), maxr, 12), np.int32)
+    mask = np.zeros((len(ids), maxr), np.float32)
+    for bi, i in enumerate(ids):
+        for ri, rsent in enumerate(GTS[i]):
+            refs[bi, ri] = _encode(rsent, w2i)
+            mask[bi, ri] = 1.0
+    # sample = exact match, greedy = a worse caption
+    sample = np.stack([_encode(GTS[i][0], w2i) for i in ids])
+    greedy = np.stack([_encode("a a a", w2i) for i in ids])
+    adv, rs = get_self_critical_reward(jnp.asarray(sample), jnp.asarray(greedy),
+                                       jnp.asarray(refs), jnp.asarray(mask),
+                                       table)
+    assert adv.shape == sample.shape
+    assert (np.asarray(adv)[:, 0] > 0).all()   # sample better than greedy
+    assert (np.asarray(rs) > 0).all()

@@ -1,0 +1,145 @@
+"""NMT stack tests: encoder/decoder shapes, loss decrease, beam translate,
+attention transforms."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unpaired_image_captioning_tpu import constants as C
+from unpaired_image_captioning_tpu.losses.criterion import nmt_loss
+from unpaired_image_captioning_tpu.models.nmt import NMTModel
+from unpaired_image_captioning_tpu.ops import attention_transforms as at
+
+SRC_V, TGT_V = 31, 29
+B, S, T = 4, 7, 6
+
+
+def tiny_nmt(**kw):
+    base = dict(src_vocab_size=SRC_V, tgt_vocab_size=TGT_V,
+                word_vec_size=16, rnn_size=24, layers=1, dropout=0.3,
+                max_decode_len=8)
+    base.update(kw)
+    return NMTModel(**base)
+
+
+def make_batch(rng):
+    k1, k2 = jax.random.split(rng)
+    src = jax.random.randint(k1, (B, S), 4, SRC_V)
+    lengths = jnp.array([S, S - 2, S - 1, 3])
+    pos = jnp.arange(S)[None, :]
+    src = jnp.where(pos < lengths[:, None], src, C.PAD)
+    tgt = jax.random.randint(k2, (B, T), 4, TGT_V)
+    tgt = tgt.at[:, 0].set(C.BOS)
+    tgt = tgt.at[:, -1].set(C.EOS)
+    return src, lengths, tgt
+
+
+def test_forward_shapes(rng):
+    model = tiny_nmt()
+    params = model.init_params(rng)
+    src, lengths, tgt = make_batch(rng)
+    outs, attns = model.forward(params, src, lengths, tgt)
+    assert outs.shape == (B, T - 1, 24)
+    assert attns.shape == (B, T - 1, S)
+    logits = model.generator_logits(params, outs)
+    loss, stats = nmt_loss(logits, tgt[:, 1:])
+    assert np.isfinite(float(loss))
+    assert float(stats.n_words) == float(jnp.sum(tgt[:, 1:] != C.PAD))
+
+
+@pytest.mark.parametrize("kw", [
+    dict(attention_type="mlp"),
+    dict(attn_transform="sparsemax"),
+    dict(attn_transform="constrained_softmax", fertility=2.0),
+    dict(attn_transform="constrained_sparsemax", fertility=2.0),
+    dict(context_gate="both"),
+    dict(coverage_attn=True),
+    dict(brnn=False),
+    dict(layers=2),
+    dict(share_decoder_embeddings=True, word_vec_size=24),
+    dict(position_encoding=True),
+])
+def test_variants_forward(rng, kw):
+    model = tiny_nmt(**kw)
+    params = model.init_params(rng)
+    src, lengths, tgt = make_batch(rng)
+    outs, _ = model.forward(params, src, lengths, tgt, training=True, rng=rng)
+    assert np.isfinite(np.asarray(outs)).all()
+
+
+def test_loss_decreases(rng):
+    import optax
+
+    model = tiny_nmt()
+    params = model.init_params(rng)
+    src, lengths, tgt = make_batch(rng)
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            outs, _ = model.forward(p, src, lengths, tgt)
+            logits = model.generator_logits(p, outs)
+            loss, _ = nmt_loss(logits, tgt[:, 1:])
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    first = None
+    for _ in range(25):
+        params, opt_state, loss = step(params, opt_state)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first * 0.8
+
+
+def test_translate_batch(rng):
+    model = tiny_nmt()
+    params = model.init_params(rng)
+    src, lengths, _ = make_batch(rng)
+    res = model.translate_batch(params, src, lengths, beam_size=3)
+    assert res.seq.shape == (B, 3, 8)
+    assert res.aux.shape == (B, 3, 8)
+    seq = np.asarray(res.seq)
+    # each finished hypothesis ends with EOS then PADs (or hit max_len)
+    for b in range(B):
+        row = seq[b, 0]
+        if (row == C.EOS).any():
+            e = int(np.argmax(row == C.EOS))
+            assert (row[e + 1:] == C.PAD).all()
+    # attention argmax points inside the source
+    assert (np.asarray(res.aux) < S).all()
+
+
+def test_sparsemax_properties(rng):
+    z = jax.random.normal(rng, (5, 11)) * 3
+    p = at.sparsemax(z)
+    np.testing.assert_allclose(np.asarray(p.sum(-1)), 1.0, atol=1e-5)
+    assert (np.asarray(p) >= 0).all()
+    # sparsemax of a large one-hot logit is that one-hot
+    z2 = jnp.zeros((1, 5)).at[0, 2].set(10.0)
+    np.testing.assert_allclose(np.asarray(at.sparsemax(z2))[0, 2], 1.0, atol=1e-5)
+
+
+def test_constrained_softmax_respects_bounds(rng):
+    z = jax.random.normal(rng, (6, 9))
+    u = jnp.full((6, 9), 0.2)
+    p = at.constrained_softmax(z, upper_bounds=u)
+    np.testing.assert_allclose(np.asarray(p.sum(-1)), 1.0, atol=1e-4)
+    assert (np.asarray(p) <= 0.2 + 1e-5).all()
+
+
+def test_constrained_sparsemax_respects_bounds(rng):
+    z = jax.random.normal(rng, (6, 9)) * 2
+    u = jnp.full((6, 9), 0.3)
+    p = at.constrained_sparsemax(z, upper_bounds=u)
+    np.testing.assert_allclose(np.asarray(p.sum(-1)), 1.0, atol=1e-4)
+    assert (np.asarray(p) <= 0.3 + 1e-5).all()
+    # with loose bounds it equals sparsemax
+    loose = at.constrained_sparsemax(z, upper_bounds=jnp.full((6, 9), 10.0))
+    np.testing.assert_allclose(np.asarray(loose), np.asarray(at.sparsemax(z)),
+                               atol=1e-4)

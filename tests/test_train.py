@@ -1,0 +1,144 @@
+"""End-to-end training slice: data pipeline -> joint trainer (XE + NMT +
+Weight_Trans), SCST step, checkpoint/resume round-trip."""
+
+import math
+
+import numpy as np
+import pytest
+
+from unpaired_image_captioning_tpu.config import Config
+from unpaired_image_captioning_tpu.data.dataloader import CaptionDataLoader
+from unpaired_image_captioning_tpu.data.nmt_dataset import NMTDataset
+from unpaired_image_captioning_tpu.data.synthetic import (make_caption_artifacts,
+                                                          make_nmt_corpus)
+from unpaired_image_captioning_tpu.ops.cider import build_df_table
+from unpaired_image_captioning_tpu.train.trainer import Trainer
+
+VOCAB = 40
+
+
+def make_cfg(**kw):
+    base = dict(
+        caption_model="fc", vocab_size=VOCAB, rnn_size=24, num_layers=1,
+        input_encoding_size=16, att_hid_size=12, fc_feat_size=32,
+        att_feat_size=24, attri_feat_size=16, seq_length=10,
+        drop_prob_lm=0.3, batch_size=4, seq_per_img=2,
+        i2t_train_flag=True, nmt_train_flag=True,
+        nmt_src_vocab_size=30, nmt_tgt_vocab_size=28,
+        word_vec_size=16, layers=1, dropout=0.2,
+        i2t_learning_rate=1e-2, nmt_optim="adam", nmt_learning_rate=1e-2,
+        checkpoint_path="save_test",
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.fixture
+def loader(tmp_path):
+    jpath, h5path, mem = make_caption_artifacts(str(tmp_path), vocab_size=VOCAB)
+    src, tgt = make_nmt_corpus()
+    nmt = NMTDataset(src, tgt, batch_size=4, shuffle=True)
+    return CaptionDataLoader(
+        input_json=jpath, input_label_h5=h5path, batch_size=4, seq_per_img=2,
+        att_feat_size=24, attri_feat_size=16, in_memory=mem, nmt_dataset=nmt,
+        use_box_cls_prob=0)
+
+
+def test_get_batch_shapes(loader):
+    data = loader.get_batch("train")
+    bs, spi, L = 4, 2, loader.seq_length
+    assert data["fc_feats"].shape == (bs * spi, 32)
+    assert data["att_feats"].shape[0] == bs * spi
+    assert data["labels"].shape == (bs * spi, L + 2)
+    assert data["masks"].shape == (bs * spi, L + 2)
+    assert data["gts"].shape[0] == bs * spi
+    assert data["nmt"]["src"].shape == (4, 8)
+    assert (data["labels"][:, 0] == 0).all()
+    # mask covers tokens + first EOS
+    lens = (data["labels"] > 0).sum(1)
+    np.testing.assert_array_equal(data["masks"].sum(1),
+                                  np.minimum(lens + 2, L + 2))
+
+
+def test_iterator_resume(loader):
+    for _ in range(2):
+        loader.get_batch("train")
+    state = loader.state_dict()
+    a = loader.get_batch("train")
+    loader.load_state_dict(state)
+    b = loader.get_batch("train")
+    np.testing.assert_array_equal(a["labels"], b["labels"])
+    assert [i["id"] for i in a["infos"]] == [i["id"] for i in b["infos"]]
+
+
+def test_joint_xe_step(tmp_path, loader):
+    cfg = make_cfg(checkpoint_path=str(tmp_path / "save"))
+    tr = Trainer(cfg)
+    data = loader.get_batch("train")
+    m1 = tr.train(data)
+    assert math.isfinite(m1["i2t_loss"]) and math.isfinite(m1["nmt_loss"])
+    losses = [tr.train(loader.get_batch("train"))["total_loss"]
+              for _ in range(14)]
+    assert losses[-1] < m1["total_loss"]
+
+
+def test_weight_trans_coupling(tmp_path, loader):
+    import jax.numpy as jnp
+
+    cap_rows = np.arange(1, 11, dtype=np.int32)
+    src_rows = np.arange(4, 14, dtype=np.int32)
+    cfg = make_cfg(checkpoint_path=str(tmp_path / "save"))
+    tr = Trainer(cfg, joint_vocab=(jnp.asarray(cap_rows), jnp.asarray(src_rows)))
+    m = tr.train(loader.get_batch("train"))
+    assert "wemb_loss" in m and math.isfinite(m["wemb_loss"])
+
+
+def test_scst_step(tmp_path, loader):
+    # df table over the synthetic caption n-grams
+    from unpaired_image_captioning_tpu.eval.metrics.cider import (
+        compute_doc_freq, precook)
+
+    sents = [" ".join(str(t) for t in row[row > 0])
+             for row in loader.labels]
+    crefs = [[precook(s)] for s in sents]
+    df_words = compute_doc_freq(crefs)
+    df_ids = {tuple(int(x) for x in ng): v for ng, v in df_words.items()}
+    table = build_df_table(df_ids, float(len(crefs)))
+
+    cfg = make_cfg(checkpoint_path=str(tmp_path / "save"), nmt_train_flag=False)
+    tr = Trainer(cfg, df_table=table)
+    m = tr.train(loader.get_batch("train"), sc_flag=True)
+    assert math.isfinite(m["i2t_loss"])
+    assert "avg_reward" in m
+
+
+def test_checkpoint_roundtrip(tmp_path, loader):
+    import jax
+
+    cfg = make_cfg(checkpoint_path=str(tmp_path / "save"))
+    tr = Trainer(cfg)
+    tr.train(loader.get_batch("train"))
+    tr.epoch = 3
+    tr.save(loader_state=loader.state_dict())
+
+    tr2 = Trainer(cfg, rng=jax.random.PRNGKey(99))
+    infos = tr2.load()
+    assert tr2.epoch == 3 and tr2.iteration == 1
+    for a, b in zip(jax.tree.leaves(tr.i2t_params),
+                    jax.tree.leaves(tr2.i2t_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert infos["loader_state"] is not None
+
+    # config mismatch must raise (train.py:30-35 parity)
+    cfg_bad = make_cfg(checkpoint_path=str(tmp_path / "save"), rnn_size=32)
+    with pytest.raises(ValueError):
+        Trainer(cfg_bad).load()
+
+
+def test_prefetcher(loader):
+    from unpaired_image_captioning_tpu.data.prefetch import ThreadPrefetcher
+
+    pf = ThreadPrefetcher(lambda: loader.get_batch("train"), depth=2)
+    batches = [pf.get() for _ in range(5)]
+    assert all(b["labels"].shape[0] == 8 for b in batches)
+    pf.close()

@@ -1,0 +1,298 @@
+"""Configuration system.
+
+Mirrors the reference's three config idioms (SURVEY.md §5.6):
+
+1. a monolithic flag namespace with ``i2t_*`` / ``nmt_*`` prefixes and
+   validity asserts (reference ``opts.py:6-181``), here a typed dataclass
+   with an auto-generated argparse CLI;
+2. checkpoint-opts override: eval entry points copy every option from a
+   saved run's config except an explicit ignore list and *assert equality*
+   for load-bearing model-shape options (reference ``eval_paired.py:81-91``);
+3. ``transfer_args``: deriving the NMT sub-config by stripping the ``nmt_``
+   prefix (reference ``misc/utils.py:35-40``).
+
+Field names intentionally match the reference CLI flags so recipes port 1:1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+from dataclasses import dataclass, field, fields
+from typing import List, Optional
+
+
+@dataclass
+class Config:
+    # --- flags: which sub-tasks run (opts.py group 1) ---
+    i2t_train_flag: bool = False
+    i2t_eval_flag: bool = False
+    nmt_train_flag: bool = False
+    nmt_eval_flag: bool = False
+    coco_eval_flag: bool = False
+    nmt_kld_train_flag: bool = False
+    use_blob_fetcher: bool = False
+
+    # --- data inputs ---
+    input_json: str = "data/chinese_talk.json"
+    input_coco_json: str = ""
+    input_fc_dir: str = "data/aic_fc"
+    input_att_dir: str = "data/aic_att"
+    input_box_dir: str = ""
+    input_box_cls_prob_dir: str = ""
+    input_fc_h5: str = ""
+    input_att_h5: str = ""
+    input_fc_coco_h5: str = ""
+    input_att_coco_h5: str = ""
+    input_label_h5: str = "data/chinese_talk_label.h5"
+    input_label_coco_h5: str = ""
+    input_nmt_choice: str = "h5"          # 'h5' | 'pt' (here: 'npz' container)
+    input_nmt_h5: str = ""
+    input_nmt_pt: str = ""
+    input_nmt_dict: str = ""
+    start_from: Optional[str] = None
+    cached_tokens: str = "data/aic-train-idxs"
+
+    # --- caption model ---
+    caption_model: str = "fc"             # fc|att2in|att2in2|att2all2|adaatt|adaattmo|topdown|stackatt|denseatt|transformer|stackcap|show_tell|show_attend_tell
+    rnn_size: int = 512
+    num_layers: int = 1
+    rnn_type: str = "lstm"
+    input_encoding_size: int = 512
+    att_hid_size: int = 512
+    attri_hid_size: int = 512
+    fc_feat_size: int = 2048
+    att_feat_size: int = 2048
+    attri_feat_size: int = 1601
+    logit_layers: int = 1
+    use_bn: int = 0                       # 0 | 1 (bn) | 2 (bn+ln) — reference AttModel.py:79-84
+    num_heads: int = 8                    # transformer
+    drop_prob_lm: float = 0.5
+
+    # --- NMT model ---
+    layers: int = 1
+    word_vec_size: int = 512
+    feature_vec_size: int = 100
+    input_feed: int = 1
+    residual: bool = False
+    brnn: bool = True
+    brnn_merge: str = "concat"
+    copy_attn: bool = False
+    coverage_attn: bool = False
+    exhaustion_loss: bool = False
+    lambda_exhaust: float = 0.001
+    lambda_coverage: float = 1.0
+    lambda_fertility: float = 0.4
+    context_gate: Optional[str] = None
+    attention_type: str = "dotprod"       # dotprod | mlp
+    attn_transform: str = "softmax"       # softmax|sparsemax|constrained_softmax|constrained_sparsemax
+    c_attn: float = 0.0
+    fertility: Optional[float] = None
+    position_encoding: bool = False
+    share_decoder_embeddings: bool = False
+    dropout: float = 0.3
+    nmt_src_vocab_size: int = 0           # filled from data
+    nmt_tgt_vocab_size: int = 0
+
+    # --- features ---
+    norm_att_feat: int = 0
+    use_box: int = 0
+    use_box_cls_prob: int = 0
+    norm_box_feat: int = 0
+
+    # --- optimization: general ---
+    max_epochs: int = 40
+    batch_size: int = 16
+    max_generator_batches: int = 32
+    self_critical_after: int = -1
+    seq_per_img: int = 5
+    beam_size: int = 1
+    seq_length: int = 20                  # max caption length (prepro --max_length)
+
+    # --- optimization: i2t ---
+    i2t_optim: str = "adam"
+    i2t_momentum: float = 0.9
+    i2t_learning_rate: float = 5e-4
+    i2t_learning_rate_decay_start: int = -1
+    i2t_learning_rate_decay_every: int = 3
+    i2t_learning_rate_decay_rate: float = 0.8
+    i2t_optim_alpha: float = 0.9
+    i2t_optim_beta: float = 0.999
+    i2t_optim_epsilon: float = 1e-8
+    i2t_decay_method: str = ""
+    i2t_weight_decay: float = 0.0
+    i2t_max_grad_norm: float = 5.0
+    i2t_grad_clip: float = 0.1
+    scheduled_sampling_start: int = -1
+    scheduled_sampling_increase_every: int = 5
+    scheduled_sampling_increase_prob: float = 0.05
+    scheduled_sampling_max_prob: float = 0.25
+
+    # --- optimization: nmt ---
+    nmt_optim: str = "sgd"
+    nmt_momentum: float = 0.9
+    nmt_learning_rate: float = 1.0
+    nmt_learning_rate_decay_start: int = -1
+    nmt_learning_rate_decay_every: int = 3
+    nmt_learning_rate_decay_rate: float = 0.5
+    nmt_optim_alpha: float = 0.9
+    nmt_optim_beta: float = 0.999
+    nmt_optim_epsilon: float = 1e-8
+    nmt_decay_method: str = ""
+    nmt_warmup_steps: int = 4000
+    nmt_weight_decay: float = 0.0
+    nmt_max_grad_norm: float = 5.0
+    nmt_grad_clip: float = 5.0
+
+    # --- eval / checkpointing ---
+    val_images_use: int = 3200
+    save_checkpoint_every: int = 2500
+    checkpoint_path: str = "save"
+    language_eval: int = 0
+    losses_log_every: int = 25
+    load_best_score: int = 1
+
+    # --- SCST ---
+    cider_reward_weight: float = 1.0
+    bleu_reward_weight: float = 0.0
+
+    # --- misc ---
+    seed: int = 123
+    id: str = ""
+    train_only: int = 0
+    gpus: List[int] = field(default_factory=list)  # kept for CLI parity; ignored (mesh instead)
+    num_devices: int = 0                  # 0 = all visible devices
+    mesh_shape: str = "data"              # parallel axis spec, see parallel/mesh.py
+    dtype: str = "bfloat16"               # compute dtype on TPU
+    param_dtype: str = "float32"
+
+    # --- derived (filled by finalize) ---
+    vocab_size: int = 0
+    coco_vocab_size: int = 0
+
+    def validate(self) -> None:
+        """Validity asserts (parity: opts.py:158-170)."""
+        assert self.rnn_size > 0, "rnn_size should be greater than 0"
+        assert self.num_layers > 0, "num_layers should be greater than 0"
+        assert self.input_encoding_size > 0, "input_encoding_size should be greater than 0"
+        assert self.batch_size > 0, "batch_size should be greater than 0"
+        assert 0 <= self.drop_prob_lm < 1, "drop_prob_lm should be between 0 and 1"
+        assert self.seq_per_img > 0, "seq_per_img should be greater than 0"
+        assert self.beam_size > 0, "beam_size should be greater than 0"
+        assert self.save_checkpoint_every > 0, "save_checkpoint_every should be greater than 0"
+        assert self.losses_log_every > 0, "losses_log_every should be greater than 0"
+        assert self.language_eval in (0, 1), "language_eval should be 0 or 1"
+        assert self.load_best_score in (0, 1), "load_best_score should be 0 or 1"
+        assert self.train_only in (0, 1), "train_only should be 0 or 1"
+
+    def finalize(self) -> "Config":
+        """Derive run id and checkpoint path (parity: opts.py:172-179)."""
+        self.validate()
+        if not self.id:
+            self.id = time.strftime("%Y%m%d-%H%M%S") + "." + self.caption_model
+        if self.checkpoint_path == "save":
+            self.checkpoint_path = "save/" + self.id
+        return self
+
+    # --- serialization ----------------------------------------------------
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        known = {f.name for f in fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    def save_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2, sort_keys=True)
+
+    @classmethod
+    def load_json(cls, path: str) -> "Config":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+
+# Options an eval script may override without touching the saved run config
+# (parity: eval_paired.py ignore list semantics).
+EVAL_OVERRIDE_KEYS = frozenset({
+    "id", "batch_size", "beam_size", "start_from", "language_eval",
+    "val_images_use", "input_fc_dir", "input_att_dir", "input_box_dir",
+    "input_box_cls_prob_dir", "input_json", "input_coco_json",
+    "input_label_h5", "input_label_coco_h5", "input_fc_h5", "input_att_h5",
+    "input_nmt_h5", "input_nmt_pt", "input_nmt_dict", "checkpoint_path",
+    "num_devices", "mesh_shape", "gpus", "seed",
+})
+
+# Model-shape options that MUST match the checkpoint (parity: train.py:30-35).
+CHECKPOINT_COMPAT_KEYS = ("caption_model", "rnn_type", "rnn_size", "num_layers",
+                          "input_encoding_size", "vocab_size")
+
+
+def merge_checkpoint_config(cli: Config, saved: Config) -> Config:
+    """Apply checkpoint-opts override semantics (eval_paired.py:81-91).
+
+    Every saved option is copied onto the CLI config except
+    EVAL_OVERRIDE_KEYS; for CHECKPOINT_COMPAT_KEYS a mismatching explicit CLI
+    value raises.
+    """
+    out = dataclasses.replace(cli)
+    for f in fields(Config):
+        k = f.name
+        if k in EVAL_OVERRIDE_KEYS:
+            continue
+        saved_v = getattr(saved, k)
+        cli_v = getattr(cli, k)
+        default_v = f.default if f.default is not dataclasses.MISSING else None
+        if k in CHECKPOINT_COMPAT_KEYS and cli_v != saved_v and cli_v != default_v and default_v is not None:
+            raise ValueError(
+                f"config mismatch vs checkpoint for {k!r}: cli={cli_v!r} saved={saved_v!r}")
+        setattr(out, k, saved_v)
+    return out
+
+
+def transfer_args(cfg: Config) -> argparse.Namespace:
+    """Build the NMT sub-config by stripping `nmt_` prefixes
+    (parity: misc/utils.py:35-40) and including the shared NMT fields."""
+    ns = argparse.Namespace()
+    for f in fields(Config):
+        k = f.name
+        if k.startswith("nmt_"):
+            setattr(ns, k[len("nmt_"):], getattr(cfg, k))
+        else:
+            setattr(ns, k, getattr(cfg, k))
+    return ns
+
+
+def build_parser(defaults: Optional[Config] = None) -> argparse.ArgumentParser:
+    """argparse CLI auto-generated from the Config dataclass; flag names match
+    the reference opts.py surface."""
+    defaults = defaults or Config()
+    p = argparse.ArgumentParser(description="unpaired_image_captioning_tpu")
+    for f in fields(Config):
+        name = "--" + f.name
+        default = getattr(defaults, f.name)
+        if f.type in ("bool", bool):
+            p.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
+                           default=default)
+        elif f.type in ("List[int]", List[int]) or f.name == "gpus":
+            p.add_argument(name, type=int, nargs="*", default=default)
+        elif f.type in ("Optional[str]", Optional[str]):
+            p.add_argument(name, type=str, default=default)
+        elif f.type in ("Optional[float]", Optional[float]):
+            p.add_argument(name, type=float, default=default)
+        elif f.type in ("int", int):
+            p.add_argument(name, type=int, default=default)
+        elif f.type in ("float", float):
+            p.add_argument(name, type=float, default=default)
+        else:
+            p.add_argument(name, type=str, default=default)
+    return p
+
+
+def parse_opt(argv: Optional[List[str]] = None) -> Config:
+    """CLI entry (parity: opts.py parse_opt)."""
+    ns = build_parser().parse_args(argv)
+    return Config.from_dict(vars(ns)).finalize()

@@ -1,0 +1,74 @@
+"""NMT dataset: padded parallel corpus batches.
+
+Parity: reference `misc/dataloader/onmt_dataset_h5.py:11-115` /
+`onmt_dataset_pt.py:10-161` — pad to max length, batch by index, expose
+`(src, lengths, tgt)`; PAD=0, BOS/EOS pre-applied to tgt. The reference
+sorts each batch by decreasing source length for packed RNNs and transposes
+to time-major; neither is needed under masking + batch-major layouts, so
+batches keep corpus order (volatile only through shuffling).
+
+Storage: h5 file with datasets `src` [N, S] and `tgt` [N, T] int32
+(0-padded), or in-memory numpy arrays. Dicts ride in `vocab.Dict` json.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from .. import constants as C
+
+
+class NMTDataset:
+    def __init__(self, src: np.ndarray, tgt: np.ndarray, batch_size: int,
+                 *, shuffle: bool = False, seed: int = 0):
+        assert src.shape[0] == tgt.shape[0]
+        self.src = np.asarray(src, np.int32)
+        self.tgt = np.asarray(tgt, np.int32)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        self.order = np.arange(len(self.src))
+        if shuffle:
+            self.rng.shuffle(self.order)
+        self.batch_idx = 0
+
+    @classmethod
+    def from_h5(cls, path: str, batch_size: int, **kw) -> "NMTDataset":
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            return cls(f["src"][...], f["tgt"][...], batch_size, **kw)
+
+    def __len__(self) -> int:
+        return (len(self.src) + self.batch_size - 1) // self.batch_size
+
+    @property
+    def num_batches(self) -> int:
+        return len(self)
+
+    def state_dict(self) -> dict:
+        return {"batch_idx": self.batch_idx, "order": self.order.tolist()}
+
+    def load_state_dict(self, state: dict) -> None:
+        self.batch_idx = state["batch_idx"]
+        self.order = np.asarray(state["order"], np.int64)
+
+    def next_batch(self) -> Tuple[Dict[str, np.ndarray], bool]:
+        """Returns (batch dict, wrapped flag). Batch is fixed-shape
+        [batch_size, ...] — the tail batch wraps around (static shapes for
+        jit; the reference instead emits a short tail batch)."""
+        n = len(self.src)
+        start = self.batch_idx * self.batch_size
+        idx = self.order[np.arange(start, start + self.batch_size) % n]
+        wrapped = start + self.batch_size >= n
+        self.batch_idx += 1
+        if wrapped:
+            self.batch_idx = 0
+            if self.shuffle:
+                self.rng.shuffle(self.order)
+        src = self.src[idx]
+        tgt = self.tgt[idx]
+        lengths = (src != C.PAD).sum(axis=1).astype(np.int32)
+        return {"src": src, "tgt": tgt, "lengths": lengths}, wrapped

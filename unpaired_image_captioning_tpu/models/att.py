@@ -1,0 +1,584 @@
+"""Attention-LSTM caption decoder family.
+
+Behavioral parity with the reference `models/AttModel.py` (file-wide):
+
+- `AttModel` base: word embedding with ReLU+dropout (:74-76), `fc_embed` /
+  `att_embed` MLPs with optional BatchNorm (``use_bn``, :79-84), attention
+  memory pre-projected once per sequence (`ctx2att`, :115), additive
+  attention with softmax -> mask -> renormalize (:529-558);
+- cores: `TopDownCore` (:421-446), `Att2in2Core` (:561-601), `Att2inCore`
+  (:604-608), `Att2all2Core` (:617-654), `AdaAtt_lstm`+`AdaAtt_attention`
+  visual-sentinel (:256-418), `StackAttCore` (:458-486), `DenseAttCore`
+  (:489-526), `ShowAttendTellCore` (OldModel.py:182-231);
+- model wrappers with their quirks: Att2in2/Att2all2 use raw fc feats
+  (fc_embed = identity, :673-686), Att2in uses a bare embedding and attends
+  over raw att feats (:703-722), TopDown forces 2 layers, Stack/Dense 3.
+
+TPU-native differences: per-timestep Python loops are `lax.scan`
+(base.forward); variable-length att grids use masks instead of
+pack_padded_sequence (AttModel.py:30-53); `use_bn` is batch-statistics
+normalization (training-mode BatchNorm — running-stat inference BN is not
+carried over; document in configs that eval batches must be > 1 when
+use_bn != 0). States are batch-major `(h[B,L,H], c[B,L,H])` so the
+vectorized beam search can reorder them along axis 0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import rnn
+from ..ops.masking import masked_softmax
+from .base import (CaptionDecoder, Features, dropout, embedding_init, linear,
+                   linear_init)
+
+
+# ---------------------------------------------------------------------------
+# shared pieces
+# ---------------------------------------------------------------------------
+
+def attention_init(rng, rnn_size: int, att_hid_size: int) -> dict:
+    k1, k2 = jax.random.split(rng)
+    return {
+        "h2att": linear_init(k1, rnn_size, att_hid_size),
+        "alpha_net": linear_init(k2, att_hid_size, 1),
+    }
+
+
+def attention_apply(p, h, att_emb, p_att, att_masks):
+    """Additive attention (parity: AttModel.py:529-558).
+
+    h: [B, H]; att_emb: [B, N, D]; p_att: [B, N, A]; att_masks: [B, N] or None.
+    Softmax over N, then multiplicative mask + renormalize (NOT -inf mask).
+    """
+    att_h = linear(p["h2att"], h)[:, None, :]                       # [B,1,A]
+    dot = jnp.tanh(p_att + att_h)                                   # [B,N,A]
+    scores = linear(p["alpha_net"], dot)[..., 0]                    # [B,N]
+    weight = masked_softmax(scores.astype(jnp.float32), att_masks)  # [B,N]
+    return jnp.einsum("bn,bnd->bd", weight.astype(att_emb.dtype), att_emb)
+
+
+def _mlp_embed_init(rng, in_dim, out_dim):
+    return linear_init(rng, in_dim, out_dim)
+
+
+def _mlp_embed(p, x, rate, training, rng):
+    return dropout(rng, jax.nn.relu(linear(p, x)), rate, training)
+
+
+def _batch_norm(p, x):
+    """Training-mode BatchNorm over the flattened leading dims."""
+    flat = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    mean = jnp.mean(flat, axis=0)
+    var = jnp.var(flat, axis=0)
+    norm = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + 1e-5)
+    return (norm * p["scale"] + p["offset"]).astype(x.dtype)
+
+
+def _rngs(rng, n):
+    if rng is None:
+        return [None] * n
+    return list(jax.random.split(rng, n))
+
+
+# ---------------------------------------------------------------------------
+# base
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class AttModel(CaptionDecoder):
+    att_feat_size: int = 2048
+    att_hid_size: int = 512
+    use_bn: int = 0
+    logit_layers: int = 1
+
+    # ---- overridable structure knobs ----
+    @property
+    def eff_num_layers(self) -> int:
+        return self.num_layers
+
+    @property
+    def fc_identity(self) -> bool:
+        return False  # Att2in2/Att2all2 override: fc feats used raw
+
+    @property
+    def att_identity(self) -> bool:
+        return False  # Att2in overrides: attend over raw att feats
+
+    @property
+    def embed_plain(self) -> bool:
+        return False  # Att2in overrides: bare embedding (no relu/dropout)
+
+    # ---- params ----
+    def init_params(self, rng) -> dict:
+        ks = _rngs(rng, 8)
+        p = {
+            "embed": embedding_init(ks[0], self.vocab_size + 1, self.input_encoding_size),
+            "logit": self._logit_init(ks[1]),
+            "core": self.core_init(ks[2]),
+        }
+        if not self.fc_identity:
+            p["fc_embed"] = _mlp_embed_init(ks[3], self.fc_feat_size, self.rnn_size)
+        if not self.att_identity:
+            p["att_embed"] = _mlp_embed_init(ks[4], self.att_feat_size, self.rnn_size)
+            if self.use_bn:
+                p["bn0"] = {"scale": jnp.ones((self.att_feat_size,)),
+                            "offset": jnp.zeros((self.att_feat_size,))}
+            if self.use_bn == 2:
+                p["bn1"] = {"scale": jnp.ones((self.rnn_size,)),
+                            "offset": jnp.zeros((self.rnn_size,))}
+        ctx_in = self.att_feat_size if self.att_identity else self.rnn_size
+        p["ctx2att"] = linear_init(ks[5], ctx_in, self.att_hid_size)
+        return p
+
+    def _logit_init(self, rng):
+        if self.logit_layers == 1:
+            return [linear_init(rng, self.rnn_size, self.vocab_size + 1)]
+        ks = _rngs(rng, self.logit_layers)
+        layers = [linear_init(ks[i], self.rnn_size, self.rnn_size)
+                  for i in range(self.logit_layers - 1)]
+        layers.append(linear_init(ks[-1], self.rnn_size, self.vocab_size + 1))
+        return layers
+
+    def _logit(self, params, x, training, rng):
+        layers = params["logit"]
+        for p in layers[:-1]:
+            rng, sub = (jax.random.split(rng) if rng is not None else (None, None))
+            x = dropout(sub, jax.nn.relu(linear(p, x)), 0.5, training)
+        return linear(layers[-1], x)
+
+    # ---- decode interface ----
+    def make_decoder(self, params, feats: Features, *, training: bool = False,
+                     rng: Optional[jax.Array] = None) -> Tuple[Any, Any]:
+        batch = feats.fc_feats.shape[0]
+        r = _rngs(rng, 2)
+        if self.fc_identity:
+            fc_emb = feats.fc_feats
+        else:
+            fc_emb = _mlp_embed(params["fc_embed"], feats.fc_feats,
+                                self.drop_prob_lm, training, r[0])
+        att = feats.att_feats
+        if self.att_identity:
+            att_emb = att
+        else:
+            if self.use_bn:
+                att = _batch_norm(params["bn0"], att)
+            att_emb = _mlp_embed(params["att_embed"], att,
+                                 self.drop_prob_lm, training, r[1])
+            if self.use_bn == 2:
+                att_emb = _batch_norm(params["bn1"], att_emb)
+        p_att = linear(params["ctx2att"], att_emb)
+        ctx = {"fc": fc_emb, "att": att_emb, "p_att": p_att,
+               "masks": feats.att_masks}
+        L = self.eff_num_layers
+        h0 = jnp.zeros((batch, L, self.rnn_size), dtype=feats.fc_feats.dtype)
+        return ctx, (h0, h0)
+
+    def step(self, params, ctx, state, it, *, training: bool = False,
+             rng: Optional[jax.Array] = None):
+        r = _rngs(rng, 3)
+        xt = params["embed"][it]
+        if not self.embed_plain:
+            xt = dropout(r[0], jax.nn.relu(xt), self.drop_prob_lm, training)
+        out, state = self.core_step(params["core"], xt, ctx, state,
+                                    training=training, rng=r[1])
+        logits = self._logit(params, out, training, r[2])
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), state
+
+    # ---- to implement per family ----
+    def core_init(self, rng):
+        raise NotImplementedError
+
+    def core_step(self, p, xt, ctx, state, *, training, rng):
+        raise NotImplementedError
+
+
+# ---------------------------------------------------------------------------
+# TopDown (bottom-up/top-down, Anderson et al.)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class TopDownModel(AttModel):
+    @property
+    def eff_num_layers(self):
+        return 2
+
+    def core_init(self, rng):
+        ks = _rngs(rng, 3)
+        h = self.rnn_size
+        return {
+            "att_lstm": rnn.init_lstm_params(ks[0], self.input_encoding_size + 2 * h, h),
+            "lang_lstm": rnn.init_lstm_params(ks[1], 2 * h, h),
+            "attention": attention_init(ks[2], h, self.att_hid_size),
+        }
+
+    def core_step(self, p, xt, ctx, state, *, training, rng):
+        # parity: TopDownCore.forward (AttModel.py:428-446)
+        h, c = state
+        prev_h_lang = h[:, 1]
+        att_in = jnp.concatenate([prev_h_lang, ctx["fc"], xt], axis=-1)
+        h_att, c_att = rnn.lstm_step(p["att_lstm"], att_in, h[:, 0], c[:, 0])
+        att_res = attention_apply(p["attention"], h_att, ctx["att"],
+                                  ctx["p_att"], ctx["masks"])
+        lang_in = jnp.concatenate([att_res, h_att], axis=-1)
+        h_lang, c_lang = rnn.lstm_step(p["lang_lstm"], lang_in, h[:, 1], c[:, 1])
+        out = dropout(rng, h_lang, self.drop_prob_lm, training)
+        return out, (jnp.stack([h_att, h_lang], axis=1),
+                     jnp.stack([c_att, c_lang], axis=1))
+
+
+# ---------------------------------------------------------------------------
+# Att2in family (SCST paper)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class Att2in2Model(AttModel):
+    """Attention enters the cell gate; raw fc feats (unused by the core)."""
+
+    @property
+    def eff_num_layers(self):
+        return 1
+
+    @property
+    def fc_identity(self):
+        return True
+
+    @property
+    def _a2c_in(self):
+        return self.rnn_size
+
+    def core_init(self, rng):
+        ks = _rngs(rng, 3)
+        h = self.rnn_size
+        return {
+            # fused i2h+h2h 5H gates, maxout (parity: Att2in2Core :561-601)
+            "cell": rnn.init_lstm_params(ks[0], self.input_encoding_size, h, maxout=True),
+            "a2c": linear_init(ks[1], self._a2c_in, 2 * h),
+            "attention": attention_init(ks[2], h, self.att_hid_size),
+        }
+
+    def core_step(self, p, xt, ctx, state, *, training, rng):
+        h, c = state
+        prev_h, prev_c = h[:, 0], c[:, 0]
+        att_res = attention_apply(p["attention"], prev_h, ctx["att"],
+                                  ctx["p_att"], ctx["masks"])
+        hsz = self.rnn_size
+        xh = jnp.concatenate([xt, prev_h], axis=-1)
+        gates = jnp.dot(xh, p["cell"]["w"], preferred_element_type=jnp.float32)
+        gates = gates + p["cell"]["b"].astype(jnp.float32)
+        # attention added to the maxout (in_transform) chunks only
+        a2c = linear(p["a2c"], att_res).astype(jnp.float32)
+        gates = gates.at[..., 3 * hsz:].add(self._gate_add(a2c, hsz))
+        sig = jax.nn.sigmoid(gates[..., : 3 * hsz])
+        in_t = jnp.maximum(gates[..., 3 * hsz: 4 * hsz], gates[..., 4 * hsz: 5 * hsz])
+        c_new = sig[..., hsz: 2 * hsz] * prev_c.astype(jnp.float32) + sig[..., :hsz] * in_t
+        h_new = sig[..., 2 * hsz: 3 * hsz] * jnp.tanh(c_new)
+        h_new = h_new.astype(prev_h.dtype)
+        c_new = c_new.astype(prev_c.dtype)
+        out = dropout(rng, h_new, self.drop_prob_lm, training)
+        return out, (h_new[:, None, :], c_new[:, None, :])
+
+    def _gate_add(self, a2c, hsz):
+        return a2c  # added to the 2H maxout chunks
+
+
+@dataclasses.dataclass(frozen=True)
+class Att2inModel(Att2in2Model):
+    """Original att2in: bare embedding, raw att feats, a2c from att_feat_size
+    (parity: models/Att2inModel.py + AttModel.py:604-608, :703-722)."""
+
+    @property
+    def att_identity(self):
+        return True
+
+    @property
+    def embed_plain(self):
+        return True
+
+    @property
+    def _a2c_in(self):
+        return self.att_feat_size
+
+
+@dataclasses.dataclass(frozen=True)
+class Att2all2Model(AttModel):
+    """Attention added to ALL gates (parity: Att2all2Core :617-654)."""
+
+    @property
+    def eff_num_layers(self):
+        return 1
+
+    @property
+    def fc_identity(self):
+        return True
+
+    def core_init(self, rng):
+        ks = _rngs(rng, 3)
+        h = self.rnn_size
+        return {
+            "cell": rnn.init_lstm_params(ks[0], self.input_encoding_size, h, maxout=True),
+            "a2h": linear_init(ks[1], h, 5 * h),
+            "attention": attention_init(ks[2], h, self.att_hid_size),
+        }
+
+    def core_step(self, p, xt, ctx, state, *, training, rng):
+        h, c = state
+        prev_h, prev_c = h[:, 0], c[:, 0]
+        att_res = attention_apply(p["attention"], prev_h, ctx["att"],
+                                  ctx["p_att"], ctx["masks"])
+        hsz = self.rnn_size
+        xh = jnp.concatenate([xt, prev_h], axis=-1)
+        gates = jnp.dot(xh, p["cell"]["w"], preferred_element_type=jnp.float32)
+        gates = gates + p["cell"]["b"].astype(jnp.float32)
+        gates = gates + linear(p["a2h"], att_res).astype(jnp.float32)
+        sig = jax.nn.sigmoid(gates[..., : 3 * hsz])
+        in_t = jnp.maximum(gates[..., 3 * hsz: 4 * hsz], gates[..., 4 * hsz: 5 * hsz])
+        c_new = sig[..., hsz: 2 * hsz] * prev_c.astype(jnp.float32) + sig[..., :hsz] * in_t
+        h_new = sig[..., 2 * hsz: 3 * hsz] * jnp.tanh(c_new)
+        h_new = h_new.astype(prev_h.dtype)
+        c_new = c_new.astype(prev_c.dtype)
+        out = dropout(rng, h_new, self.drop_prob_lm, training)
+        return out, (h_new[:, None, :], c_new[:, None, :])
+
+
+# ---------------------------------------------------------------------------
+# AdaAtt (adaptive attention with visual sentinel)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class AdaAttModel(AttModel):
+    use_maxout: bool = False
+
+    def __post_init__(self):
+        # the sentinel (input_encoding_size-dim) is concatenated with the
+        # rnn_size-dim att memory (reference AdaAtt_attention :383-386) —
+        # the reference design implicitly requires these to be equal.
+        assert self.input_encoding_size == self.rnn_size, (
+            "adaatt requires input_encoding_size == rnn_size")
+
+    def core_init(self, rng):
+        L = self.num_layers
+        h = self.rnn_size
+        e = self.input_encoding_size
+        g = 5 if self.use_maxout else 4
+        ks = _rngs(rng, 2 * L + 12)
+        p = {
+            "w2h": linear_init(ks[0], e, g * h),
+            "v2h": linear_init(ks[1], h, g * h),
+            "h2h": [linear_init(ks[2 + i], h, g * h) for i in range(L)],
+            "i2h": [linear_init(ks[2 + L + i], h, g * h) for i in range(L - 1)],
+            "r_h2h": linear_init(ks[2 + 2 * L], h, h),
+        }
+        if L == 1:
+            p["r_w2h"] = linear_init(ks[3 + 2 * L], e, h)
+            p["r_v2h"] = linear_init(ks[4 + 2 * L], h, h)
+        else:
+            p["r_i2h"] = linear_init(ks[3 + 2 * L], h, h)
+        # AdaAtt_attention (:344-406)
+        p["fr_linear"] = linear_init(ks[5 + 2 * L], h, e)
+        p["fr_embed"] = linear_init(ks[6 + 2 * L], e, self.att_hid_size)
+        p["ho_linear"] = linear_init(ks[7 + 2 * L], h, e)
+        p["ho_embed"] = linear_init(ks[8 + 2 * L], e, self.att_hid_size)
+        p["alpha_net"] = linear_init(ks[9 + 2 * L], self.att_hid_size, 1)
+        p["att2h"] = linear_init(ks[10 + 2 * L], h, h)
+        return p
+
+    def core_step(self, p, xt, ctx, state, *, training, rng):
+        # parity: AdaAtt_lstm.forward (:289-341) + AdaAtt_attention (:375-406)
+        L = self.num_layers
+        hsz = self.rnn_size
+        h, c = state
+        r = _rngs(rng, L + 4)
+        hs, cs = [], []
+        fake_region = None
+        x = xt
+        for layer in range(L):
+            prev_h, prev_c = h[:, layer], c[:, layer]
+            if layer == 0:
+                i2h = linear(p["w2h"], x) + linear(p["v2h"], ctx["fc"])
+            else:
+                x = dropout(r[layer], hs[-1], self.drop_prob_lm, training)
+                i2h = linear(p["i2h"][layer - 1], x)
+            gates = (i2h + linear(p["h2h"][layer], prev_h)).astype(jnp.float32)
+            sig = jax.nn.sigmoid(gates[..., : 3 * hsz])
+            if self.use_maxout:
+                in_t = jnp.maximum(gates[..., 3 * hsz: 4 * hsz], gates[..., 4 * hsz: 5 * hsz])
+            else:
+                in_t = jnp.tanh(gates[..., 3 * hsz: 4 * hsz])
+            c_new = sig[..., hsz: 2 * hsz] * prev_c.astype(jnp.float32) + sig[..., :hsz] * in_t
+            tanh_c = jnp.tanh(c_new)
+            h_new = sig[..., 2 * hsz: 3 * hsz] * tanh_c
+            if layer == L - 1:
+                if layer == 0:
+                    ri = linear(p["r_w2h"], x) + linear(p["r_v2h"], ctx["fc"])
+                else:
+                    ri = linear(p["r_i2h"], x)
+                n5 = (ri + linear(p["r_h2h"], prev_h)).astype(jnp.float32)
+                fake_region = jax.nn.sigmoid(n5) * tanh_c
+            hs.append(h_new.astype(xt.dtype))
+            cs.append(c_new.astype(xt.dtype))
+        top_h = dropout(r[L], hs[-1], self.drop_prob_lm, training)
+        fake_region = dropout(r[L + 1], fake_region.astype(xt.dtype),
+                              self.drop_prob_lm, training)
+
+        # sentinel attention over [fake_region; att slots]
+        fr = dropout(r[L + 2], jax.nn.relu(linear(p["fr_linear"], fake_region)),
+                     self.drop_prob_lm, training)
+        fr_embed = linear(p["fr_embed"], fr)
+        ho = dropout(r[L + 3], jnp.tanh(linear(p["ho_linear"], top_h)),
+                     self.drop_prob_lm, training)
+        ho_embed = linear(p["ho_embed"], ho)
+        img_all = jnp.concatenate([fr[:, None, :], ctx["att"]], axis=1)
+        img_all_embed = jnp.concatenate([fr_embed[:, None, :], ctx["p_att"]], axis=1)
+        hA = jnp.tanh(img_all_embed + ho_embed[:, None, :])
+        scores = linear(p["alpha_net"], hA)[..., 0]
+        masks = ctx["masks"]
+        if masks is not None:
+            masks = jnp.concatenate([jnp.ones_like(masks[:, :1]), masks], axis=1)
+        pi = masked_softmax(scores.astype(jnp.float32), masks)
+        vis = jnp.einsum("bn,bnd->bd", pi.astype(img_all.dtype), img_all)
+        atten_out = vis + ho
+        out = jnp.tanh(linear(p["att2h"], atten_out))
+        out = dropout(rng, out, self.drop_prob_lm, training)
+        return out, (jnp.stack(hs, axis=1), jnp.stack(cs, axis=1))
+
+
+@dataclasses.dataclass(frozen=True)
+class AdaAttMOModel(AdaAttModel):
+    use_maxout: bool = True
+
+
+# ---------------------------------------------------------------------------
+# StackAtt / DenseAtt (3-LSTM stacks)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class StackAttModel(AttModel):
+    @property
+    def eff_num_layers(self):
+        return 3
+
+    def core_init(self, rng):
+        ks = _rngs(rng, 6)
+        h = self.rnn_size
+        e = self.input_encoding_size
+        return {
+            "lstm0": rnn.init_lstm_params(ks[0], e + h, h, maxout=True),
+            "lstm1": rnn.init_lstm_params(ks[1], 2 * h, h, maxout=True),
+            "lstm2": rnn.init_lstm_params(ks[2], 2 * h, h, maxout=True),
+            "att1": attention_init(ks[3], h, self.att_hid_size),
+            "att2": attention_init(ks[4], h, self.att_hid_size),
+            "emb2": linear_init(ks[5], h, h),
+        }
+
+    def _stack(self, p, xt, ctx, state, *, training, rng):
+        h, c = state
+        r = _rngs(rng, 3)
+        h0, c0 = rnn.lstm_step(p["lstm0"], jnp.concatenate([xt, ctx["fc"]], -1),
+                               h[:, 0], c[:, 0], maxout=True)
+        h0d = dropout(r[0], h0, self.drop_prob_lm, training)
+        att1 = attention_apply(p["att1"], h0d, ctx["att"], ctx["p_att"], ctx["masks"])
+        h1, c1 = rnn.lstm_step(p["lstm1"], jnp.concatenate([h0d, att1], -1),
+                               h[:, 1], c[:, 1], maxout=True)
+        h1d = dropout(r[1], h1, self.drop_prob_lm, training)
+        att2 = attention_apply(p["att2"], h1d + linear(p["emb2"], att1),
+                               ctx["att"], ctx["p_att"], ctx["masks"])
+        return (h0d, h1d, att2, r[2],
+                (jnp.stack([h0, h1], 1), jnp.stack([c0, c1], 1)))
+
+    def core_step(self, p, xt, ctx, state, *, training, rng):
+        # parity: StackAttCore.forward (:478-486)
+        h0d, h1d, att2, r2, (h01, c01) = self._stack(p, xt, ctx, state,
+                                                     training=training, rng=rng)
+        h, c = state
+        h2, c2 = rnn.lstm_step(p["lstm2"], jnp.concatenate([h1d, att2], -1),
+                               h[:, 2], c[:, 2], maxout=True)
+        out = dropout(r2, h2, self.drop_prob_lm, training)
+        return out, (jnp.concatenate([h01, h2[:, None]], 1),
+                     jnp.concatenate([c01, c2[:, None]], 1))
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseAttModel(StackAttModel):
+    def core_init(self, rng):
+        rng, k1, k2 = jax.random.split(rng, 3)
+        p = super().core_init(rng)
+        h = self.rnn_size
+        p["fusion1"] = linear_init(k1, 2 * h, h)
+        p["fusion2"] = linear_init(k2, 3 * h, h)
+        return p
+
+    def core_step(self, p, xt, ctx, state, *, training, rng):
+        # parity: DenseAttCore.forward (:518-526)
+        h0d, h1d, att2, r2, (h01, c01) = self._stack(p, xt, ctx, state,
+                                                     training=training, rng=rng)
+        r2a, r2b, r2c = _rngs(r2, 3)
+        h, c = state
+        fused01 = dropout(r2a, jax.nn.relu(
+            linear(p["fusion1"], jnp.concatenate([h0d, h1d], -1))),
+            self.drop_prob_lm, training)
+        h2, c2 = rnn.lstm_step(p["lstm2"], jnp.concatenate([fused01, att2], -1),
+                               h[:, 2], c[:, 2], maxout=True)
+        h2d = dropout(r2b, h2, self.drop_prob_lm, training)
+        out = dropout(r2c, jax.nn.relu(
+            linear(p["fusion2"], jnp.concatenate([h0d, h1d, h2d], -1))),
+            self.drop_prob_lm, training)
+        return out, (jnp.concatenate([h01, h2[:, None]], 1),
+                     jnp.concatenate([c01, c2[:, None]], 1))
+
+
+# ---------------------------------------------------------------------------
+# ShowAttendTell (legacy OldModel family)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ShowAttendTellModel(AttModel):
+    """Legacy show-attend-tell (parity: OldModel.py:182-231 + OldModel base):
+    fc feats map to the initial hidden state; attention over RAW att feats;
+    single nn.LSTM over [word; att_res]."""
+
+    @property
+    def att_identity(self):
+        return True
+
+    @property
+    def embed_plain(self):
+        return True
+
+    def init_params(self, rng):
+        p = super().init_params(rng)
+        p["img_linear"] = linear_init(jax.random.fold_in(rng, 101),
+                                      self.fc_feat_size,
+                                      self.num_layers * self.rnn_size)
+        return p
+
+    def make_decoder(self, params, feats: Features, *, training=False, rng=None):
+        ctx, _ = super().make_decoder(params, feats, training=training, rng=rng)
+        # init_hidden from image (OldModel.py:48-53): h = c = linear(fc)
+        img = linear(params["img_linear"], feats.fc_feats)
+        img = img.reshape(feats.fc_feats.shape[0], self.num_layers, self.rnn_size)
+        return ctx, (img, img)
+
+    def core_init(self, rng):
+        k1, k2 = jax.random.split(rng)
+        return {
+            "lstm": rnn.init_stacked_lstm(
+                k1, self.num_layers,
+                self.input_encoding_size + self.att_feat_size, self.rnn_size),
+            "attention": attention_init(k2, self.rnn_size, self.att_hid_size),
+        }
+
+    def core_step(self, p, xt, ctx, state, *, training, rng):
+        h, c = state
+        att_res = attention_apply(p["attention"], h[:, -1], ctx["att"],
+                                  ctx["p_att"], ctx["masks"])
+        top, hs, cs = rnn.stacked_lstm_step(
+            p["lstm"], jnp.concatenate([xt, att_res], -1),
+            jnp.moveaxis(h, 1, 0), jnp.moveaxis(c, 1, 0),
+            dropout_rng=rng if training else None, dropout=self.drop_prob_lm)
+        out = dropout(rng, top, self.drop_prob_lm, training)
+        return out, (jnp.moveaxis(hs, 0, 1), jnp.moveaxis(cs, 0, 1))

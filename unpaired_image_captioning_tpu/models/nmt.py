@@ -1,0 +1,482 @@
+"""NMT seq2seq: BiLSTM encoder + input-feed stacked-LSTM decoder with
+global attention — the zh→en translator of the pivot pipeline.
+
+Parity map (reference `models/NMT_Models.py` and the vendored
+`misc/OpenNMT-py-dalegebit/onmt/`):
+
+- `Embeddings` (:27-72): word LUT with PAD→0, optional sinusoid positional
+  encoding + dropout;
+- `Encoder` (:75-135): `layers`-layer bidirectional LSTM, hidden size
+  rnn_size/2 per direction, packed sequences → here forward+backward
+  `lax.scan` with length masks;
+- `Decoder` (:137-271): StackedLSTM with input feed (prev attentional
+  output concatenated to the word embedding), `GlobalAttention` (Luong
+  dotprod default / Bahdanau mlp, pluggable softmax / sparsemax /
+  constrained transforms, GlobalAttention.py:11-177), fertility
+  upper-bound bookkeeping with a <SINK> column absorbing residual mass
+  (`upper_bounds -= attn`, NMT_Models.py:229-243), optional context gate
+  (Gate.py) and coverage;
+- `NMTModel` (:273-420): encode → `_fix_enc_hidden` (bidir interleave fix)
+  → init decoder state → decode; batched beam `translateBatch` (beam 15,
+  100-step cap) is `ops.beam_search` with BOS/EOS ids and per-step
+  source-attention argmax recorded for UNK replacement (:312-320).
+
+Layout: batch-major everywhere ([B, T]) — the reference's time-major
+tensors (and its DataParallel(dim=1) quirk) have no TPU purpose.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..ops import rnn
+from ..ops.attention_transforms import TRANSFORMS
+from .base import dropout as _dropout
+from .base import linear, linear_init
+from .transformer import positional_encoding
+
+NEG_INF = -1e18
+
+
+def _rngs(rng, n):
+    if rng is None:
+        return [None] * n
+    return list(jax.random.split(rng, n))
+
+
+def embeddings_init(rng, vocab: int, dim: int) -> dict:
+    emb = jax.random.normal(rng, (vocab, dim)) * 0.01
+    emb = emb.at[C.PAD].set(0.0)
+    return {"word_lut": emb}
+
+
+def embed_tokens(p, ids, *, position_encoding=False, pos_offset=None,
+                 dropout=0.0, training=False, rng=None):
+    """ids [...,] -> [..., E]; PAD embeds to exactly 0 (padding_idx parity)."""
+    emb = p["word_lut"][ids]
+    emb = emb * (ids != C.PAD)[..., None].astype(emb.dtype)
+    if position_encoding:
+        t = ids.shape[-1] if ids.ndim > 1 else 1
+        dim = emb.shape[-1]
+        pe = positional_encoding(5000, dim)
+        if pos_offset is None:
+            emb = emb + pe[:t][None].astype(emb.dtype)
+        else:
+            emb = emb + pe[pos_offset].astype(emb.dtype)
+        emb = _dropout(rng, emb, dropout, training)
+    return emb
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class NMTEncoder:
+    vocab_size: int
+    word_vec_size: int = 512
+    rnn_size: int = 512
+    layers: int = 1
+    brnn: bool = True
+    dropout: float = 0.3
+    position_encoding: bool = False
+
+    @property
+    def num_directions(self) -> int:
+        return 2 if self.brnn else 1
+
+    @property
+    def hidden_size(self) -> int:
+        assert self.rnn_size % self.num_directions == 0
+        return self.rnn_size // self.num_directions
+
+    def init_params(self, rng) -> dict:
+        k0, k1 = jax.random.split(rng)
+        p = {"embeddings": embeddings_init(k0, self.vocab_size, self.word_vec_size),
+             "layers": []}
+        for layer in range(self.layers):
+            in_size = (self.word_vec_size if layer == 0
+                       else self.hidden_size * self.num_directions)
+            lp = {"fwd": rnn.init_lstm_params(
+                jax.random.fold_in(k1, 2 * layer), in_size, self.hidden_size)}
+            if self.brnn:
+                lp["bwd"] = rnn.init_lstm_params(
+                    jax.random.fold_in(k1, 2 * layer + 1), in_size, self.hidden_size)
+            p["layers"].append(lp)
+        return p
+
+    def _scan_dir(self, cell, x, lengths, reverse: bool):
+        """One unidirectional LSTM layer over time with length masking."""
+        b, s, _ = x.shape
+        h0 = jnp.zeros((b, self.hidden_size), x.dtype)
+
+        def step(carry, xt_t):
+            h, c = carry
+            xt, valid = xt_t
+            h_new, c_new = rnn.lstm_step(cell, xt, h, c)
+            h_new = jnp.where(valid[:, None], h_new, h)
+            c_new = jnp.where(valid[:, None], c_new, c)
+            return (h_new, c_new), h_new
+
+        valid = jnp.arange(s)[None, :] < lengths[:, None]   # [B, S]
+        xs = jnp.moveaxis(x, 1, 0)                           # [S, B, E]
+        vs = valid.T
+        if reverse:
+            xs, vs = xs[::-1], vs[::-1]
+        (h_f, c_f), hs = jax.lax.scan(step, (h0, h0), (xs, vs))
+        if reverse:
+            hs = hs[::-1]
+        out = jnp.moveaxis(hs, 0, 1)                         # [B, S, H]
+        # zero outputs at padded positions (packed-sequence parity)
+        out = out * valid[..., None].astype(out.dtype)
+        return out, h_f, c_f
+
+    def apply(self, params, src_ids, lengths, *, training=False, rng=None):
+        """src_ids: [B, S] int32; lengths: [B]. Returns (context [B, S, rnn],
+        (h, c) each [layers, B, rnn]) with bidirectional halves concatenated
+        — both between layers (torch bidirectional nn.LSTM semantics) and in
+        the final hidden (parity: NMTModel._fix_enc_hidden, :284-287)."""
+        r = _rngs(rng, 1 + self.layers)
+        x = embed_tokens(params["embeddings"], src_ids,
+                         position_encoding=self.position_encoding,
+                         dropout=self.dropout, training=training, rng=r[0])
+        finals_h, finals_c = [], []
+        for li, lp in enumerate(params["layers"]):
+            out_f, h_f, c_f = self._scan_dir(lp["fwd"], x, lengths, False)
+            if self.brnn:
+                out_b, h_b, c_b = self._scan_dir(lp["bwd"], x, lengths, True)
+                x_next = jnp.concatenate([out_f, out_b], axis=-1)
+                finals_h.append(jnp.concatenate([h_f, h_b], axis=-1))
+                finals_c.append(jnp.concatenate([c_f, c_b], axis=-1))
+            else:
+                x_next = out_f
+                finals_h.append(h_f)
+                finals_c.append(c_f)
+            x = x_next
+            if (training and self.dropout > 0 and r[1 + li] is not None
+                    and li + 1 < self.layers):
+                x = _dropout(r[1 + li], x, self.dropout, training)
+        return x, (jnp.stack(finals_h), jnp.stack(finals_c))
+
+
+# ---------------------------------------------------------------------------
+# Global attention
+# ---------------------------------------------------------------------------
+
+def global_attention_init(rng, dim: int, attn_type: str = "dotprod") -> dict:
+    ks = _rngs(rng, 3)
+    if attn_type == "dotprod":
+        return {
+            "linear_in": {"w": linear_init(ks[0], dim, dim)["w"]},
+            "linear_out": {"w": linear_init(ks[1], 2 * dim, dim)["w"]},
+        }
+    return {  # mlp (Bahdanau)
+        "linear_context": {"w": linear_init(ks[0], dim, dim)["w"]},
+        "linear_query": {"w": linear_init(ks[1], dim, dim)["w"]},
+        "v": {"w": linear_init(ks[2], dim, 1)["w"]},
+    }
+
+
+def global_attention_apply(p, query, context, *, attn_type="dotprod",
+                           attn_transform="softmax", mask=None,
+                           upper_bounds=None, c_attn=0.0):
+    """query [B, D], context [B, S, D] -> (attn_out [B, D], attn [B, S]).
+
+    Parity: GlobalAttention.forward (:84-177): -inf pad mask before the
+    transform; dotprod concatenates [ctx; q] -> linear_out -> tanh.
+    """
+    if attn_type == "dotprod":
+        q = jnp.dot(query, p["linear_in"]["w"],
+                    preferred_element_type=jnp.float32).astype(query.dtype)
+        scores = jnp.einsum("bsd,bd->bs", context, q)
+    else:
+        wq = jnp.dot(query, p["linear_query"]["w"],
+                     preferred_element_type=jnp.float32)
+        uh = jnp.dot(context, p["linear_context"]["w"],
+                     preferred_element_type=jnp.float32)
+        wquh = jnp.tanh(uh + wq[:, None, :])
+        scores = jnp.dot(wquh, p["v"]["w"],
+                         preferred_element_type=jnp.float32)[..., 0]
+    scores = scores.astype(jnp.float32)
+    if c_attn != 0.0 and upper_bounds is not None and "constrained" in attn_transform:
+        ub = upper_bounds.at[:, -1].set(0.0)  # sink excluded (ref :160-165)
+        scores = scores + c_attn * ub
+    transform = TRANSFORMS[attn_transform]
+    attn = transform(scores, mask=mask, upper_bounds=upper_bounds)
+    weighted = jnp.einsum("bs,bsd->bd", attn.astype(context.dtype), context)
+    if attn_type == "dotprod":
+        cat = jnp.concatenate([weighted, query], axis=-1)
+        out = jnp.tanh(jnp.dot(cat, p["linear_out"]["w"],
+                               preferred_element_type=jnp.float32)).astype(query.dtype)
+    else:
+        out = weighted
+    return out, attn
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class NMTDecoder:
+    vocab_size: int
+    word_vec_size: int = 512
+    rnn_size: int = 512
+    layers: int = 1
+    input_feed: int = 1
+    dropout: float = 0.3
+    attention_type: str = "dotprod"
+    attn_transform: str = "softmax"
+    c_attn: float = 0.0
+    fertility: Optional[float] = None
+    coverage_attn: bool = False
+    context_gate: Optional[str] = None
+    position_encoding: bool = False
+
+    @property
+    def rnn_input_size(self) -> int:
+        return self.word_vec_size + (self.rnn_size if self.input_feed else 0)
+
+    def init_params(self, rng) -> dict:
+        ks = _rngs(rng, 5)
+        p = {
+            "embeddings": embeddings_init(ks[0], self.vocab_size, self.word_vec_size),
+            "rnn": rnn.init_stacked_lstm(ks[1], self.layers,
+                                         self.rnn_input_size, self.rnn_size),
+            "attn": global_attention_init(ks[2], self.rnn_size, self.attention_type),
+        }
+        if self.context_gate is not None:
+            in_sz = self.word_vec_size + self.rnn_size + self.rnn_size
+            p["gate"] = {
+                "gate": linear_init(ks[3], in_sz, self.rnn_size),
+                "source_proj": linear_init(ks[4], self.rnn_size, self.rnn_size),
+                "target_proj": linear_init(
+                    jax.random.fold_in(ks[4], 1),
+                    self.word_vec_size + self.rnn_size, self.rnn_size),
+            }
+        if self.coverage_attn:
+            p["linear_cover"] = {"w": linear_init(
+                jax.random.fold_in(ks[3], 2), 1, self.rnn_size)["w"]}
+        return p
+
+    def init_state(self, enc_hidden, context) -> dict:
+        """RNNDecoderState parity (:422-486): hidden from encoder, zero
+        input feed, fertility upper bounds reset per sequence."""
+        h, c = enc_hidden  # [L, B, rnn]
+        b = h.shape[1]
+        s = context.shape[1]
+        state = {
+            "h": jnp.moveaxis(h, 0, 1),                   # [B, L, H] batch-major
+            "c": jnp.moveaxis(c, 0, 1),
+            "input_feed": jnp.zeros((b, self.rnn_size), context.dtype),
+            "attn": jnp.zeros((b, s), jnp.float32),
+            "t": jnp.zeros((b,), jnp.int32),              # step counter (pos enc)
+        }
+        if "constrained" in self.attn_transform:
+            fert = self.fertility if self.fertility is not None else 2.0
+            ub = jnp.full((b, s), fert, jnp.float32)
+            ub = ub.at[:, -1].set(100.0)  # <SINK> absorbs residual (:236-238)
+            state["upper_bounds"] = ub
+        if self.coverage_attn:
+            state["coverage"] = jnp.zeros((b, s), jnp.float32)
+        return state
+
+    def step(self, params, context, state, it, *, src_mask=None,
+             training=False, rng=None, pos=None):
+        """One input-feed decode step. it: [B] token ids.
+        Returns (output [B, rnn], attn [B, S], new state)."""
+        r = _rngs(rng, 3)
+        if pos is None:
+            pos = state["t"][0]
+        emb = embed_tokens(params["embeddings"], it,
+                           position_encoding=self.position_encoding,
+                           pos_offset=pos, dropout=self.dropout,
+                           training=training, rng=r[0])
+        if self.input_feed:
+            emb_in = jnp.concatenate([emb, state["input_feed"]], axis=-1)
+        else:
+            emb_in = emb
+        rnn_out, hs, cs = rnn.stacked_lstm_step(
+            params["rnn"], emb_in,
+            jnp.moveaxis(state["h"], 1, 0), jnp.moveaxis(state["c"], 1, 0),
+            dropout_rng=r[1] if training else None, dropout=self.dropout)
+        ctx_in = context
+        if self.coverage_attn:
+            cov = state["coverage"]
+            ctx_in = jnp.tanh(context + jnp.dot(
+                cov[..., None], params["linear_cover"]["w"],
+                preferred_element_type=jnp.float32).astype(context.dtype))
+        attn_out, attn = global_attention_apply(
+            params["attn"], rnn_out, ctx_in,
+            attn_type=self.attention_type, attn_transform=self.attn_transform,
+            mask=src_mask, upper_bounds=state.get("upper_bounds"),
+            c_attn=self.c_attn)
+        if self.context_gate is not None:
+            g = params["gate"]
+            zin = jnp.concatenate([emb, rnn_out, attn_out], axis=-1)
+            z = jax.nn.sigmoid(linear(g["gate"], zin).astype(jnp.float32)).astype(emb.dtype)
+            src_p = linear(g["source_proj"], attn_out)
+            tgt_p = linear(g["target_proj"], jnp.concatenate([emb, rnn_out], -1))
+            if self.context_gate == "source":
+                out = jnp.tanh(tgt_p + z * src_p)
+            elif self.context_gate == "target":
+                out = jnp.tanh(z * tgt_p + src_p)
+            else:
+                out = jnp.tanh((1.0 - z) * tgt_p + z * src_p)
+            out = _dropout(r[2], out, self.dropout, training)
+        else:
+            out = _dropout(r[2], attn_out, self.dropout, training)
+        new_state = dict(state)
+        new_state["h"] = jnp.moveaxis(hs, 0, 1)
+        new_state["c"] = jnp.moveaxis(cs, 0, 1)
+        new_state["input_feed"] = out if self.input_feed else state["input_feed"]
+        new_state["attn"] = attn
+        new_state["t"] = state["t"] + 1
+        if "upper_bounds" in state:
+            new_state["upper_bounds"] = state["upper_bounds"] - attn
+        if self.coverage_attn:
+            new_state["coverage"] = state["coverage"] + attn
+        return out, attn, new_state
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class NMTModel:
+    src_vocab_size: int
+    tgt_vocab_size: int
+    word_vec_size: int = 512
+    rnn_size: int = 512
+    layers: int = 1
+    brnn: bool = True
+    input_feed: int = 1
+    dropout: float = 0.3
+    attention_type: str = "dotprod"
+    attn_transform: str = "softmax"
+    c_attn: float = 0.0
+    fertility: Optional[float] = None
+    coverage_attn: bool = False
+    context_gate: Optional[str] = None
+    position_encoding: bool = False
+    share_decoder_embeddings: bool = False
+    max_decode_len: int = 100   # translateBatch cap (NMT_Models.py:348)
+    beam_size: int = 15         # NMT_Models.py:323
+
+    @property
+    def encoder(self) -> NMTEncoder:
+        return NMTEncoder(self.src_vocab_size, self.word_vec_size, self.rnn_size,
+                          self.layers, self.brnn, self.dropout,
+                          self.position_encoding)
+
+    @property
+    def decoder(self) -> NMTDecoder:
+        return NMTDecoder(self.tgt_vocab_size, self.word_vec_size, self.rnn_size,
+                          self.layers, self.input_feed, self.dropout,
+                          self.attention_type, self.attn_transform, self.c_attn,
+                          self.fertility, self.coverage_attn, self.context_gate,
+                          self.position_encoding)
+
+    @classmethod
+    def from_config(cls, cfg) -> "NMTModel":
+        return cls(
+            src_vocab_size=cfg.nmt_src_vocab_size,
+            tgt_vocab_size=cfg.nmt_tgt_vocab_size,
+            word_vec_size=cfg.word_vec_size, rnn_size=cfg.rnn_size,
+            layers=cfg.layers, brnn=cfg.brnn, input_feed=cfg.input_feed,
+            dropout=cfg.dropout, attention_type=cfg.attention_type,
+            attn_transform=cfg.attn_transform, c_attn=cfg.c_attn,
+            fertility=cfg.fertility, coverage_attn=cfg.coverage_attn,
+            context_gate=cfg.context_gate,
+            position_encoding=cfg.position_encoding,
+            share_decoder_embeddings=cfg.share_decoder_embeddings,
+        )
+
+    def init_params(self, rng) -> dict:
+        k1, k2, k3 = jax.random.split(rng, 3)
+        p = {
+            "encoder": self.encoder.init_params(k1),
+            "decoder": self.decoder.init_params(k2),
+        }
+        if not self.share_decoder_embeddings:
+            p["generator"] = linear_init(k3, self.rnn_size, self.tgt_vocab_size)
+        else:
+            p["generator"] = {"b": jnp.zeros((self.tgt_vocab_size,))}
+        return p
+
+    def generator_logits(self, params, output):
+        if self.share_decoder_embeddings:
+            w = params["decoder"]["embeddings"]["word_lut"]
+            return (jnp.dot(output, w.T, preferred_element_type=jnp.float32)
+                    + params["generator"]["b"])
+        return linear(params["generator"], output).astype(jnp.float32)
+
+    # ---- training forward --------------------------------------------------
+    def forward(self, params, src_ids, src_lengths, tgt_ids, *,
+                training=False, rng=None):
+        """src_ids [B, S]; tgt_ids [B, T] incl. BOS...EOS. Returns decoder
+        outputs [B, T-1, rnn] for targets tgt_ids[:, 1:] (parity:
+        NMTModel.forward, :414-420 — tgt fed excluding last)."""
+        r = _rngs(rng, 2)
+        context, enc_hidden = self.encoder.apply(params["encoder"], src_ids,
+                                                 src_lengths, training=training,
+                                                 rng=r[0])
+        state0 = self.decoder.init_state(enc_hidden, context)
+        dec = self.decoder
+        n_steps = tgt_ids.shape[1] - 1
+        step_rngs = (jax.random.split(r[1], n_steps) if r[1] is not None
+                     else jnp.zeros((n_steps, 2), jnp.uint32))
+
+        def body(state, inp):
+            tok, srng = inp
+            srng = srng if training and rng is not None else None
+            out, attn, state = dec.step(params["decoder"], context, state, tok,
+                                        training=training, rng=srng)
+            return state, (out, attn)
+
+        _, (outs, attns) = jax.lax.scan(body, state0,
+                                        (tgt_ids[:, :-1].T, step_rngs))
+        return jnp.moveaxis(outs, 0, 1), jnp.moveaxis(attns, 0, 1)
+
+    # ---- batched beam translate ---------------------------------------------
+    def translate_batch(self, params, src_ids, src_lengths, *,
+                        beam_size: Optional[int] = None,
+                        n_best: int = 1, max_len: Optional[int] = None):
+        """Beam-translate a batch (parity: translateBatch :322-395).
+
+        Returns BeamResult with seq [B, beam, T] (BOS excluded, EOS included,
+        PAD after) and aux = per-step source-attention argmax for
+        UNK replacement (buildTargetTokens parity, :312-320).
+        """
+        from ..ops.beam_search import beam_search
+
+        beam_size = beam_size or self.beam_size
+        max_len = max_len or self.max_decode_len
+        context, enc_hidden = self.encoder.apply(params["encoder"], src_ids,
+                                                 src_lengths)
+        state0 = self.decoder.init_state(enc_hidden, context)
+        s = src_ids.shape[1]
+        src_mask = (jnp.arange(s)[None, :] < src_lengths[:, None]).astype(jnp.float32)
+        ctx = {"context": context, "src_mask": src_mask}
+        dec = self.decoder
+
+        def step_fn(p, c, state, it):
+            out, attn, state = dec.step(p["decoder"], c["context"], state, it,
+                                        src_mask=c["src_mask"])
+            logits = self.generator_logits(p, out)
+            return jax.nn.log_softmax(logits, axis=-1), state
+
+        return beam_search(
+            step_fn, params, ctx, state0,
+            beam_size=beam_size, seq_length=max_len,
+            bos_token=C.BOS, eos_token=C.EOS, eos_is_zero=False,
+            suppress_unk=False,
+            record_aux_from_state=lambda st: jnp.argmax(st["attn"], axis=-1),
+        )

@@ -1,0 +1,259 @@
+"""Transformer caption decoder over attention features.
+
+Parity: reference `models/TransformerModel.py` — an "Attention is All You
+Need" stack with N=`num_layers` layers, d_model=`input_encoding_size`,
+d_ff=`rnn_size`, h=8 heads, dropout 0.1 (:270-291); att features embedded by
+the AttModel-style `att_embed` then passed through a transformer encoder;
+pre-norm sublayer connections; embedding scaled by sqrt(d_model) + sinusoid
+positional encoding; target mask = padding mask & subsequent mask
+(:169-173, :366-389).
+
+TPU-native differences:
+- teacher forcing runs as ONE parallel pass with a causal mask (the
+  reference does too — its per-step loop is only for decoding);
+- incremental decode keeps a fixed-size per-layer K/V cache written at
+  position t (`lax.scan`-safe static shapes), instead of re-running the
+  whole prefix on a grown `ys` buffer (reference :436-446). The reference's
+  self-check asserting incremental == parallel decode (:521-523) is
+  reproduced in tests/test_transformer.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .base import CaptionDecoder, Features, dropout, linear, linear_init
+from ..ops.masking import masked_softmax
+
+DROPOUT = 0.1  # reference make_model default
+
+
+def _rngs(rng, n):
+    if rng is None:
+        return [None] * n
+    return list(jax.random.split(rng, n))
+
+
+def positional_encoding(max_len: int, d_model: int) -> jnp.ndarray:
+    pos = jnp.arange(max_len)[:, None].astype(jnp.float32)
+    div = jnp.exp(jnp.arange(0, d_model, 2).astype(jnp.float32)
+                  * -(math.log(10000.0) / d_model))
+    pe = jnp.zeros((max_len, d_model), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(pos * div))
+    return pe
+
+
+def layer_norm_init(dim: int) -> dict:
+    return {"scale": jnp.ones((dim,)), "offset": jnp.zeros((dim,))}
+
+
+def layer_norm(p, x, eps: float = 1e-6):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (out * p["scale"] + p["offset"]).astype(x.dtype)
+
+
+def mha_init(rng, d_model: int) -> dict:
+    ks = jax.random.split(rng, 4)
+    return {k: linear_init(ks[i], d_model, d_model)
+            for i, k in enumerate(("q", "k", "v", "o"))}
+
+
+def _split_heads(x, n_heads):
+    b, t, d = x.shape
+    return x.reshape(b, t, n_heads, d // n_heads)
+
+
+def mha_apply(p, q_in, k, v, mask, n_heads: int, *, training=False, rng=None):
+    """k, v: already-projected [B, S, d]. mask: [B, 1|T, S] bool/0-1 or None."""
+    d = q_in.shape[-1]
+    q = _split_heads(linear(p["q"], q_in), n_heads)
+    kh = _split_heads(k, n_heads)
+    vh = _split_heads(v, n_heads)
+    scores = jnp.einsum("bthd,bshd->bhts", q, kh) / math.sqrt(d // n_heads)
+    scores = scores.astype(jnp.float32)
+    if mask is not None:
+        scores = jnp.where(mask[:, None, :, :], scores, -1e9)
+    attn = jax.nn.softmax(scores, axis=-1)
+    attn = dropout(rng, attn, DROPOUT, training)
+    out = jnp.einsum("bhts,bshd->bthd", attn.astype(q_in.dtype), vh)
+    return linear(p["o"], out.reshape(q_in.shape[0], q_in.shape[1], d))
+
+
+def ffn_init(rng, d_model: int, d_ff: int) -> dict:
+    k1, k2 = jax.random.split(rng)
+    return {"w1": linear_init(k1, d_model, d_ff), "w2": linear_init(k2, d_ff, d_model)}
+
+
+def ffn_apply(p, x, *, training=False, rng=None):
+    h = jax.nn.relu(linear(p["w1"], x))
+    h = dropout(rng, h, DROPOUT, training)
+    return linear(p["w2"], h)
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerModel(CaptionDecoder):
+    att_feat_size: int = 2048
+    att_hid_size: int = 512
+    use_bn: int = 0
+    logit_layers: int = 1
+    num_heads: int = 8
+
+    @property
+    def d_model(self) -> int:
+        return self.input_encoding_size
+
+    @property
+    def d_ff(self) -> int:
+        return self.rnn_size
+
+    def init_params(self, rng) -> dict:
+        N = self.num_layers
+        d = self.d_model
+        ks = _rngs(rng, 4 + 4 * N + 6 * N)
+        i = iter(range(len(ks)))
+        p = {
+            "att_embed": linear_init(ks[next(i)], self.att_feat_size, d),
+            "tgt_embed": jax.random.normal(ks[next(i)], (self.vocab_size + 1, d)) * (d ** -0.5),
+            "generator": linear_init(ks[next(i)], d, self.vocab_size + 1),
+            "enc_norm": layer_norm_init(d),
+            "dec_norm": layer_norm_init(d),
+            "enc": [],
+            "dec": [],
+        }
+        for _ in range(N):
+            p["enc"].append({
+                "self": mha_init(ks[next(i)], d),
+                "ffn": ffn_init(ks[next(i)], d, self.d_ff),
+                "n1": layer_norm_init(d), "n2": layer_norm_init(d),
+            })
+        for _ in range(N):
+            p["dec"].append({
+                "self": mha_init(ks[next(i)], d),
+                "src": mha_init(ks[next(i)], d),
+                "ffn": ffn_init(ks[next(i)], d, self.d_ff),
+                "n1": layer_norm_init(d), "n2": layer_norm_init(d),
+                "n3": layer_norm_init(d),
+            })
+        return p
+
+    # ---- encoder ----
+    def encode(self, params, feats: Features, *, training=False, rng=None):
+        r = _rngs(rng, 1 + 3 * self.num_layers)
+        x = dropout(r[0], jax.nn.relu(linear(params["att_embed"], feats.att_feats)),
+                    self.drop_prob_lm, training)
+        src_mask = None
+        if feats.att_masks is not None:
+            src_mask = feats.att_masks[:, None, :] > 0  # [B, 1, N]
+        ri = 1
+        for lp in params["enc"]:
+            y = layer_norm(lp["n1"], x)
+            k = linear(lp["self"]["k"], y)
+            v = linear(lp["self"]["v"], y)
+            x = x + dropout(r[ri], mha_apply(lp["self"], y, k, v, src_mask,
+                                             self.num_heads, training=training,
+                                             rng=r[ri + 1]),
+                            DROPOUT, training)
+            y = layer_norm(lp["n2"], x)
+            x = x + dropout(r[ri + 2], ffn_apply(lp["ffn"], y, training=training),
+                            DROPOUT, training)
+            ri += 3
+        return layer_norm(params["enc_norm"], x), src_mask
+
+    # ---- parallel teacher forcing ----
+    def forward(self, params, feats: Features, seq, *, training: bool = False,
+                rng: Optional[jax.Array] = None, ss_prob: float = 0.0):
+        """Full parallel decode with causal+pad mask. ss_prob is accepted for
+        interface parity but ignored (the reference transformer path never
+        uses scheduled sampling either)."""
+        del ss_prob
+        r = _rngs(rng, 2 + 5 * self.num_layers)
+        memory, src_mask = self.encode(params, feats, training=training, rng=r[0])
+        seq_in = seq[:, :-1]
+        b, t = seq_in.shape
+        d = self.d_model
+        x = params["tgt_embed"][seq_in] * math.sqrt(d)
+        x = x + positional_encoding(t, d)[None].astype(x.dtype)
+        x = dropout(r[1], x, DROPOUT, training)
+        # pad mask: position 0 (BOS slot, id 0) always allowed (ref :169-173)
+        pad_ok = jnp.logical_or(seq_in > 0,
+                                jnp.arange(t)[None, :] == 0)       # [B, T]
+        causal = jnp.tril(jnp.ones((t, t), bool))
+        tgt_mask = jnp.logical_and(pad_ok[:, None, :], causal[None])  # [B, T, T]
+        ri = 2
+        for lp in params["dec"]:
+            y = layer_norm(lp["n1"], x)
+            k = linear(lp["self"]["k"], y)
+            v = linear(lp["self"]["v"], y)
+            x = x + dropout(r[ri], mha_apply(lp["self"], y, k, v, tgt_mask,
+                                             self.num_heads, training=training,
+                                             rng=r[ri + 1]), DROPOUT, training)
+            y = layer_norm(lp["n2"], x)
+            mk = linear(lp["src"]["k"], memory)
+            mv = linear(lp["src"]["v"], memory)
+            x = x + dropout(r[ri + 2], mha_apply(lp["src"], y, mk, mv, src_mask,
+                                                 self.num_heads, training=training,
+                                                 rng=r[ri + 3]), DROPOUT, training)
+            y = layer_norm(lp["n3"], x)
+            x = x + dropout(r[ri + 4], ffn_apply(lp["ffn"], y, training=training),
+                            DROPOUT, training)
+            ri += 5
+        x = layer_norm(params["dec_norm"], x)
+        logits = linear(params["generator"], x)
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+    # ---- incremental decode with fixed K/V cache ----
+    def make_decoder(self, params, feats: Features, *, training: bool = False,
+                     rng: Optional[jax.Array] = None) -> Tuple[Any, Any]:
+        memory, src_mask = self.encode(params, feats, training=training, rng=rng)
+        # precompute cross-attention K/V once per sequence
+        cross = [{"k": linear(lp["src"]["k"], memory),
+                  "v": linear(lp["src"]["v"], memory)} for lp in params["dec"]]
+        ctx = {"cross": cross,
+               "src_mask": (src_mask if src_mask is not None else None)}
+        b = feats.att_feats.shape[0]
+        T = self.seq_length
+        cache = {
+            "k": jnp.zeros((b, self.num_layers, T, self.d_model), memory.dtype),
+            "v": jnp.zeros((b, self.num_layers, T, self.d_model), memory.dtype),
+            "t": jnp.zeros((b,), jnp.int32),
+        }
+        return ctx, cache
+
+    def step(self, params, ctx, state, it, *, training: bool = False,
+             rng: Optional[jax.Array] = None):
+        d = self.d_model
+        T = self.seq_length
+        b = it.shape[0]
+        t = state["t"][0]  # all rows share the position
+        x = params["tgt_embed"][it] * math.sqrt(d)
+        x = x + positional_encoding(T, d)[t].astype(x.dtype)
+        x = x[:, None, :]  # [B, 1, d]
+        new_k, new_v = state["k"], state["v"]
+        pos_ok = (jnp.arange(T) <= t)[None, None, :]  # [1, 1, T]
+        for li, lp in enumerate(params["dec"]):
+            y = layer_norm(lp["n1"], x)
+            k_t = linear(lp["self"]["k"], y)[:, 0]
+            v_t = linear(lp["self"]["v"], y)[:, 0]
+            write = (jnp.arange(T) == t)[None, :, None]
+            new_k = new_k.at[:, li].set(jnp.where(write, k_t[:, None, :], new_k[:, li]))
+            new_v = new_v.at[:, li].set(jnp.where(write, v_t[:, None, :], new_v[:, li]))
+            x = x + mha_apply(lp["self"], y, new_k[:, li], new_v[:, li],
+                              jnp.broadcast_to(pos_ok, (b, 1, T)), self.num_heads)
+            y = layer_norm(lp["n2"], x)
+            x = x + mha_apply(lp["src"], y, ctx["cross"][li]["k"],
+                              ctx["cross"][li]["v"], ctx["src_mask"], self.num_heads)
+            y = layer_norm(lp["n3"], x)
+            x = x + ffn_apply(lp["ffn"], y)
+        x = layer_norm(params["dec_norm"], x)
+        logits = linear(params["generator"], x[:, 0])
+        state = {"k": new_k, "v": new_v, "t": state["t"] + 1}
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), state

@@ -1,0 +1,259 @@
+"""Vectorized diverse beam search: one `[batch, group, beam]` tensor program.
+
+Replaces three host-side beam implementations in the reference with a single
+compiled scan:
+
+- `CaptionModel.beam_search` (models/CaptionModel.py:33-177): diverse groups
+  with per-group staggered start, diversity penalty `add_diversity`
+  (:36-44), UNK suppression (−1000 on the last vocab slot, :133), optional
+  `decoding_constraint` (no immediate word repeat), `max_ppl`
+  length-normalized final ranking, EOS dead-slot semantics
+  (`beam_logprobs_sum = −1000` after a beam emits EOS, :xx) and
+  record-all-live-beams at the final step;
+- `AttModel._sample_beam` (AttModel.py:167-196): the per-image Python loop
+  over the batch is gone — batch is just a tensor dimension here;
+- `onmt.Beam` / `NMTModel.translateBatch` (onmt/Beam.py:20-117,
+  models/NMT_Models.py:322-395): flat top-k over `beam×vocab` with
+  backpointers; here the same selection rule with BOS/EOS/PAD ids
+  parameterized and optional per-step aux recording (source-attention argmax
+  for UNK replacement, NMT_Models.py:312-320).
+
+Semantics notes (parity with the reference):
+- ranking uses the *augmented* logprobs (diversity penalty, constraint),
+  while accumulated beam scores use the *unaugmented* values (UNK
+  suppression is part of the unaugmented values, CaptionModel.py:133);
+- at a group's local t=0 only beam 0 participates (all beams start equal);
+- a beam that emits EOS is recorded into the finished set and its live score
+  is set to exactly −1000 (it remains a selectable "dead slot", matching the
+  reference's quirk);
+- at local t = seq_length−1 every live beam is recorded;
+- finished beams are ranked by total logprob, or logprob/length when
+  `max_ppl` is set;
+- groups are staggered in time: group g is active for global steps
+  [g, seq_length+g), total steps = seq_length + group_size − 1.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e10
+DEAD = -1000.0  # reference's dead-slot score
+
+
+class BeamResult(NamedTuple):
+    seq: jax.Array          # [B, K, T] int32 — per-group sorted, group-major
+    logps: jax.Array        # [B, K, T] f32 per-token logprobs
+    scores: jax.Array       # [B, K] f32 total logprob of each finished beam
+    aux: Optional[jax.Array]  # [B, K, T] int32 recorded aux (or None)
+
+
+def _expand_to_beams(tree, beam_size: int):
+    """[B, ...] -> [B*K, ...] with row b*K+k = row b."""
+    return jax.tree.map(
+        lambda x: jnp.repeat(x, beam_size, axis=0) if hasattr(x, "ndim") and x.ndim >= 1 else x,
+        tree)
+
+
+def beam_search(
+    step_fn: Callable,
+    params,
+    ctx,
+    state0,
+    *,
+    beam_size: int,
+    seq_length: int,
+    bos_token: int = 0,
+    eos_token: int = 0,
+    eos_is_zero: bool = True,
+    group_size: int = 1,
+    diversity_lambda: float = 0.5,
+    decoding_constraint: bool = False,
+    suppress_unk: bool = True,
+    max_ppl: bool = False,
+    record_aux_from_state: Optional[Callable[[Any], jax.Array]] = None,
+) -> BeamResult:
+    """Run batched (diverse) beam search.
+
+    step_fn(params, ctx, state, it[B*K]) -> (logprobs [B*K, V], state)
+    ctx/state0 are per-example [B, ...] pytrees; they are expanded to beams
+    here. ctx is never reordered (identical across beams of one example);
+    state is reordered by backpointers every step.
+    """
+    assert beam_size % group_size == 0, "beam_size must be divisible by group_size"
+    G = group_size
+    bd = beam_size // G
+    K = beam_size
+    T = seq_length
+
+    batch = jax.tree.leaves(state0)[0].shape[0]
+    ctx = _expand_to_beams(ctx, K) if ctx is not None else None
+    state = _expand_to_beams(state0, K)
+    vocab = None  # resolved at first step
+
+    cum = jnp.zeros((batch, G, bd), jnp.float32)
+    it = jnp.full((batch, G, bd), bos_token, jnp.int32)
+    seq_buf = jnp.zeros((batch, G, bd, T), jnp.int32)
+    logp_buf = jnp.zeros((batch, G, bd, T), jnp.float32)
+    aux_buf = jnp.zeros((batch, G, bd, T), jnp.int32) if record_aux_from_state else None
+
+    fin_rank = jnp.full((batch, G, bd), NEG_INF, jnp.float32)
+    fin_score = jnp.full((batch, G, bd), NEG_INF, jnp.float32)
+    fin_seq = jnp.zeros((batch, G, bd, T), jnp.int32)
+    fin_logp = jnp.zeros((batch, G, bd, T), jnp.float32)
+    fin_aux = jnp.zeros((batch, G, bd, T), jnp.int32) if record_aux_from_state else None
+
+    t_total = T + G - 1
+    arangeT = jnp.arange(T)
+
+    def body(carry, t):
+        (state, cum, it, seq_buf, logp_buf, aux_buf,
+         fin_rank, fin_score, fin_seq, fin_logp, fin_aux) = carry
+
+        it_flat = it.reshape(batch * K)
+        logprobs_flat, new_state = step_fn(params, ctx, state, it_flat)
+        V = logprobs_flat.shape[-1]
+        lp = logprobs_flat.astype(jnp.float32).reshape(batch, G, bd, V)
+        aux_flat = (record_aux_from_state(new_state).astype(jnp.int32)
+                    if record_aux_from_state else None)
+        aux_now = aux_flat.reshape(batch, G, bd) if aux_flat is not None else None
+
+        if suppress_unk:
+            # UNK is the LAST vocab slot in the caption convention
+            # (CaptionModel.py:133); part of the *unaugmented* values.
+            lp = lp.at[..., V - 1].add(-1000.0)
+
+        parents = jnp.zeros((batch, G, bd), jnp.int32)
+        toks = jnp.zeros((batch, G, bd), jnp.int32)
+        new_cum = cum
+        new_seq = seq_buf
+        new_logp = logp_buf
+        new_aux = aux_buf
+        nfr, nfs, nfq, nfl, nfa = fin_rank, fin_score, fin_seq, fin_logp, fin_aux
+        active_masks = []
+
+        for g in range(G):
+            local_t = t - g
+            active = jnp.logical_and(local_t >= 0, local_t < T)
+            lt = jnp.clip(local_t, 0, T - 1)
+            active_masks.append(active)
+
+            unaug = lp[:, g]  # [B, bd, V]
+            aug = unaug
+
+            # diversity penalty from previous groups' choices at this local t
+            if g > 0 and diversity_lambda > 0.0:
+                penalty = jnp.zeros((batch, V), jnp.float32)
+                for p in range(g):
+                    prev_tok = jnp.take_along_axis(
+                        seq_buf[:, p], jnp.broadcast_to(lt, (batch, bd))[..., None],
+                        axis=-1)[..., 0]  # [B, bd]
+                    penalty = penalty + jnp.sum(
+                        jax.nn.one_hot(prev_tok, V, dtype=jnp.float32), axis=1)
+                aug = aug - diversity_lambda * penalty[:, None, :]
+
+            if decoding_constraint:
+                # forbid repeating the previous token (selection only)
+                prev_onehot = jax.nn.one_hot(it[:, g], V, dtype=jnp.float32)
+                no_prev = jnp.where(lt > 0, NEG_INF, 0.0)
+                aug = aug + prev_onehot * no_prev
+
+            total = cum[:, g][..., None] + aug  # [B, bd, V]
+            # local t=0: only beam 0 (all beams identical at start)
+            beam_mask = jnp.where(
+                lt == 0,
+                jnp.where(jnp.arange(bd) == 0, 0.0, NEG_INF),
+                jnp.zeros((bd,)),
+            )
+            total = total + beam_mask[None, :, None]
+
+            flat = total.reshape(batch, bd * V)
+            sel_score, sel_idx = jax.lax.top_k(flat, bd)      # [B, bd]
+            parent = sel_idx // V
+            tok = (sel_idx % V).astype(jnp.int32)
+
+            # accumulated score uses the UNAUGMENTED logprob of the token;
+            # sel_idx == parent * V + tok, so gather from the flat unaug view
+            tok_unaug = jnp.take_along_axis(
+                unaug.reshape(batch, bd * V), sel_idx, axis=1)
+            cum_g = jnp.take_along_axis(cum[:, g], parent, axis=1) + tok_unaug
+
+            # reorder buffers by parent, then write token at lt
+            def reorder_write(buf_g, value):
+                re = jnp.take_along_axis(buf_g, parent[..., None], axis=1)
+                write = arangeT[None, None, :] == lt
+                return jnp.where(write, value[..., None], re)
+
+            seq_g = reorder_write(seq_buf[:, g], tok)
+            logp_g = reorder_write(logp_buf[:, g], tok_unaug)
+
+            # finishing beams: EOS token, or final local step
+            is_eos = tok == eos_token
+            is_final = lt == (T - 1)
+            finishing = jnp.logical_and(active, jnp.logical_or(is_eos, is_final))
+            length = (lt + 1).astype(jnp.float32)
+            cand_score = jnp.where(finishing, cum_g, NEG_INF)
+            cand_rank = cand_score / length if max_ppl else cand_score
+
+            merged_rank = jnp.concatenate([fin_rank[:, g], cand_rank], axis=1)
+            merged_score = jnp.concatenate([fin_score[:, g], cand_score], axis=1)
+            merged_seq = jnp.concatenate([fin_seq[:, g], seq_g], axis=1)
+            merged_logp = jnp.concatenate([fin_logp[:, g], logp_g], axis=1)
+            top_rank, top_idx = jax.lax.top_k(merged_rank, bd)
+            gather2 = lambda m: jnp.take_along_axis(m, top_idx, axis=1)
+            gather3 = lambda m: jnp.take_along_axis(m, top_idx[..., None], axis=1)
+            nfr = nfr.at[:, g].set(jnp.where(active, top_rank, fin_rank[:, g]))
+            nfs = nfs.at[:, g].set(jnp.where(active, gather2(merged_score), fin_score[:, g]))
+            nfq = nfq.at[:, g].set(jnp.where(active, gather3(merged_seq), fin_seq[:, g]))
+            nfl = nfl.at[:, g].set(jnp.where(active, gather3(merged_logp), fin_logp[:, g]))
+
+            if record_aux_from_state:
+                aux_g = reorder_write(aux_buf[:, g], aux_now[:, g])
+                merged_aux = jnp.concatenate([fin_aux[:, g], aux_g], axis=1)
+                nfa = nfa.at[:, g].set(jnp.where(active, gather3(merged_aux), fin_aux[:, g]))
+                new_aux = new_aux.at[:, g].set(jnp.where(active, aux_g, aux_buf[:, g]))
+
+            # dead-slot: finished live beams get exactly -1000
+            cum_g = jnp.where(jnp.logical_and(finishing, is_eos),
+                              jnp.float32(DEAD), cum_g)
+            cum_g = jnp.where(active, cum_g, cum[:, g])
+
+            parents = parents.at[:, g].set(jnp.where(active, parent, jnp.arange(bd)[None, :]))
+            toks = toks.at[:, g].set(jnp.where(active, tok, it[:, g]))
+            new_cum = new_cum.at[:, g].set(cum_g)
+            new_seq = new_seq.at[:, g].set(jnp.where(active, seq_g, seq_buf[:, g]))
+            new_logp = new_logp.at[:, g].set(jnp.where(active, logp_g, logp_buf[:, g]))
+
+        # one global state reorder: flat index = b*K + g*bd + parent
+        active_row = jnp.stack(
+            [jnp.broadcast_to(a, (batch, bd)) for a in active_masks], axis=1
+        ).reshape(batch * K)
+        base = (jnp.arange(batch) * K)[:, None, None]
+        gather_idx = (base + jnp.arange(G)[None, :, None] * bd + parents).reshape(batch * K)
+
+        def reorder_leaf(new_leaf, old_leaf):
+            re = jnp.take(new_leaf, gather_idx, axis=0)
+            mask = active_row.reshape((batch * K,) + (1,) * (re.ndim - 1))
+            return jnp.where(mask, re, old_leaf)
+
+        state_next = jax.tree.map(reorder_leaf, new_state, state)
+
+        carry = (state_next, new_cum, toks, new_seq, new_logp, new_aux,
+                 nfr, nfs, nfq, nfl, nfa)
+        return carry, None
+
+    carry0 = (state, cum, it, seq_buf, logp_buf, aux_buf,
+              fin_rank, fin_score, fin_seq, fin_logp, fin_aux)
+    carry, _ = jax.lax.scan(body, carry0, jnp.arange(t_total))
+    (_, _, _, _, _, _, fin_rank, fin_score, fin_seq, fin_logp, fin_aux) = carry
+
+    # group-major concatenation (reference: done_beams_table reduce-add)
+    return BeamResult(
+        seq=fin_seq.reshape(batch, K, T),
+        logps=fin_logp.reshape(batch, K, T),
+        scores=fin_score.reshape(batch, K),
+        aux=fin_aux.reshape(batch, K, T) if fin_aux is not None else None,
+    )

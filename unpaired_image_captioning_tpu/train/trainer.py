@@ -1,0 +1,225 @@
+"""Joint trainer: dual-model (i2t captioner + NMT) training step.
+
+Parity: reference `trainer.py:35-215` —
+- owns both models (`build_i2t` :72-78, `build_nmt` :80-96); the
+  DataParallel wrapping becomes mesh sharding outside this module;
+- one `train()` step runs the i2t branch (XE or SCST, :163-173), the NMT
+  branch with ppl/acc stats (:175-192), the Weight_Trans embedding
+  alignment losses (:95,187-189), then a single dual-optimizer step (:193);
+- `eval()` tracks best-CIDEr / best-NMT-acc (:195-215); checkpointing via
+  train/checkpoint.py (:98-104).
+
+TPU-native structure: the whole joint step is ONE jitted function — both
+losses summed into one backward (parameters are disjoint except through the
+Weight_Trans coupling, which the joint loss handles exactly), per-model
+grad clipping inside each optax transform, LR/ss_prob/epoch logic host-side
+passed as scalars (SURVEY.md §7.3). The SCST branch samples, greedy-decodes
+the baseline, scores CIDEr-D on device (ops/cider.py) and applies the
+policy-gradient loss without any host round-trip (reference does 2 device
+syncs + host python scoring per step, rewards.py:51-66).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import models as model_zoo
+from ..losses.criterion import (language_model_loss, nmt_loss, reward_loss,
+                                weight_trans_loss)
+from ..losses.rewards import get_self_critical_reward
+from ..models.base import Features
+from ..models.nmt import NMTModel
+from ..ops.cider import DfTable, empty_df_table
+from .checkpoint import CheckpointManager
+from .optimizer import DualOptim
+
+
+class Trainer:
+    def __init__(self, cfg, *, mesh=None, df_table: Optional[DfTable] = None,
+                 joint_vocab: Optional[tuple] = None,
+                 joint_vocab_y: Optional[tuple] = None, rng=None):
+        self.cfg = cfg
+        self.mesh = mesh
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+        k1, k2 = jax.random.split(rng)
+        self.rng = jax.random.fold_in(rng, 7)
+
+        self.i2t_model = model_zoo.setup(cfg) if cfg.vocab_size else None
+        self.i2t_params = (self.i2t_model.init_params(k1)
+                           if self.i2t_model else None)
+        self.nmt_model = (NMTModel.from_config(cfg)
+                          if cfg.nmt_src_vocab_size else None)
+        self.nmt_params = (self.nmt_model.init_params(k2)
+                           if self.nmt_model else None)
+
+        self.optim = DualOptim(cfg, self.i2t_params, self.nmt_params)
+        self.df_table = df_table if df_table is not None else empty_df_table()
+        # joint-vocab alignment rows for Weight_Trans (criterion.py:294-434)
+        self.joint_vocab = joint_vocab      # (cap_rows, nmt_src_rows) or None
+        self.joint_vocab_y = joint_vocab_y  # (coco_rows, nmt_tgt_rows) or None
+        self.ckpt = CheckpointManager(cfg.checkpoint_path)
+        self._xe_step = None
+        self._rl_step = None
+
+        self.iteration = 0
+        self.epoch = 0
+        self.epoch_nmt = 0
+        self.best_cider = None
+        self.best_nmt_acc = None
+
+    # ------------------------------------------------------------------ steps
+    def _feats(self, batch: Dict[str, Any]) -> Features:
+        return Features(fc_feats=batch["fc_feats"],
+                        att_feats=batch.get("att_feats"),
+                        attri_feats=batch.get("attri_feats"),
+                        att_masks=batch.get("att_masks"))
+
+    def _loss_terms(self, i2t_p, nmt_p, batch, ss_prob, rng, *, rl: bool):
+        cfg = self.cfg
+        metrics = {}
+        total = jnp.float32(0.0)
+
+        if self.i2t_model is not None and cfg.i2t_train_flag:
+            feats = self._feats(batch)
+            if rl:
+                r1, r2 = jax.random.split(rng)
+                gen, logps = self.i2t_model.sample(i2t_p, feats, r1,
+                                                   greedy=False)
+                greedy, _ = self.i2t_model.sample(
+                    jax.lax.stop_gradient(i2t_p), feats, r2, greedy=True)
+                adv, rs = get_self_critical_reward(
+                    gen, jax.lax.stop_gradient(greedy),
+                    batch["gts"], batch["gts_masks"], self.df_table,
+                    cider_weight=cfg.cider_reward_weight,
+                    bleu_weight=cfg.bleu_reward_weight)
+                i2t_l = reward_loss(logps, gen, jax.lax.stop_gradient(adv))
+                metrics["avg_reward"] = jnp.mean(rs)
+            else:
+                out = self.i2t_model.forward(i2t_p, feats, batch["labels"],
+                                             training=True, rng=rng,
+                                             ss_prob=ss_prob)
+                i2t_l = language_model_loss(out, batch["labels"][:, 1:],
+                                            batch["masks"][:, 1:])
+            metrics["i2t_loss"] = i2t_l
+            total = total + i2t_l
+
+        if self.nmt_model is not None and cfg.nmt_train_flag:
+            nb = batch["nmt"]
+            outs, _ = self.nmt_model.forward(nmt_p, nb["src"], nb["lengths"],
+                                             nb["tgt"], training=True, rng=rng)
+            logits = self.nmt_model.generator_logits(nmt_p, outs)
+            nmt_l, stats = nmt_loss(logits, nb["tgt"][:, 1:])
+            metrics["nmt_loss"] = nmt_l
+            metrics["nmt_ppl"] = stats.ppl()
+            metrics["nmt_acc"] = stats.accuracy()
+            total = total + nmt_l
+
+            if self.joint_vocab is not None and self.i2t_model is not None:
+                cap_rows, src_rows = self.joint_vocab
+                wemb = weight_trans_loss(i2t_p["embed"],
+                                         nmt_p["encoder"]["embeddings"]["word_lut"],
+                                         cap_rows, src_rows)
+                metrics["wemb_loss"] = wemb
+                total = total + wemb
+
+        metrics["total_loss"] = total
+        return total, metrics
+
+    def _build_step(self, rl: bool):
+        cfg = self.cfg
+        train_i2t = self.i2t_model is not None and cfg.i2t_train_flag
+        train_nmt = self.nmt_model is not None and cfg.nmt_train_flag
+
+        def step(i2t_p, nmt_p, i2t_opt, nmt_opt, batch, lr_i2t, lr_nmt,
+                 ss_prob, rng):
+            def loss_fn(ps):
+                return self._loss_terms(ps[0], ps[1], batch, ss_prob, rng, rl=rl)
+
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)((i2t_p, nmt_p))
+            g_i2t, g_nmt = grads
+            if train_i2t:
+                up, i2t_opt = self.optim.i2t_tx.update(g_i2t, i2t_opt, i2t_p)
+                i2t_p = jax.tree.map(lambda p, u: p - lr_i2t * u, i2t_p, up)
+            if train_nmt:
+                up, nmt_opt = self.optim.nmt_tx.update(g_nmt, nmt_opt, nmt_p)
+                nmt_p = jax.tree.map(lambda p, u: p - lr_nmt * u, nmt_p, up)
+            return i2t_p, nmt_p, i2t_opt, nmt_opt, metrics
+
+        return jax.jit(step, donate_argnums=(0, 1, 2, 3))
+
+    # ------------------------------------------------------------------ train
+    def train(self, data: Dict[str, Any], *, sc_flag: bool = False
+              ) -> Dict[str, float]:
+        """One training step on a host batch dict (parity: trainer.py:141-193).
+        Returns host-side metric floats."""
+        if sc_flag:
+            if self._rl_step is None:
+                self._rl_step = self._build_step(rl=True)
+            step = self._rl_step
+        else:
+            if self._xe_step is None:
+                self._xe_step = self._build_step(rl=False)
+            step = self._xe_step
+
+        batch = {k: jnp.asarray(v) for k, v in data.items()
+                 if k in ("fc_feats", "att_feats", "attri_feats", "att_masks",
+                          "labels", "masks", "gts", "gts_masks")}
+        if "nmt" in data:
+            batch["nmt"] = {k: jnp.asarray(v) for k, v in data["nmt"].items()}
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+            batch = shard_batch(batch, self.mesh)
+
+        self.rng, sub = jax.random.split(self.rng)
+        lr_i2t = jnp.float32(self.optim.i2t_lr(self.epoch))
+        lr_nmt = jnp.float32(self.optim.nmt_lr(self.epoch_nmt))
+        ss_prob = jnp.float32(self.optim.ss_prob(self.epoch))
+        (self.i2t_params, self.nmt_params, self.optim.i2t_state,
+         self.optim.nmt_state, metrics) = step(
+            self.i2t_params, self.nmt_params, self.optim.i2t_state,
+            self.optim.nmt_state, batch, lr_i2t, lr_nmt, ss_prob, sub)
+        self.optim.nmt_step += 1
+        self.iteration += 1
+        out = {k: float(v) for k, v in metrics.items()}
+        out["lr_i2t"] = float(lr_i2t)
+        out["lr_nmt"] = float(lr_nmt)
+        out["ss_prob"] = float(ss_prob)
+        return out
+
+    # ----------------------------------------------------------------- ckpt
+    def save(self, loader_state: Optional[dict] = None,
+             histories: Optional[dict] = None, best: bool = False) -> None:
+        infos = {
+            "iter": self.iteration, "epoch": self.epoch,
+            "epoch_nmt": self.epoch_nmt,
+            "best_cider": self.best_cider, "best_nmt_acc": self.best_nmt_acc,
+            "opt": self.cfg.to_dict(),
+            "loader_state": loader_state,
+        }
+        self.ckpt.save(i2t_params=self.i2t_params, nmt_params=self.nmt_params,
+                       optim_state=self.optim.state_dict(), infos=infos,
+                       histories=histories, best=best)
+
+    def load(self, best: bool = False) -> dict:
+        infos = self.ckpt.load_infos(best=best)
+        from .checkpoint import check_resume_compat
+        check_resume_compat(infos.get("opt", {}), self.cfg)
+        if self.i2t_params is not None:
+            self.i2t_params = self.ckpt.load_params("model_i2t",
+                                                    self.i2t_params, best=best)
+        if self.nmt_params is not None:
+            self.nmt_params = self.ckpt.load_params("model_nmt",
+                                                    self.nmt_params, best=best)
+        optim_state = self.ckpt.load_params("optimizer",
+                                            self.optim.state_dict(), best=best)
+        self.optim.load_state_dict(optim_state)
+        self.iteration = infos["iter"]
+        self.epoch = infos["epoch"]
+        self.epoch_nmt = infos["epoch_nmt"]
+        self.best_cider = infos.get("best_cider")
+        self.best_nmt_acc = infos.get("best_nmt_acc")
+        return infos
