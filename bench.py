@@ -1,0 +1,81 @@
+"""Benchmark: captions/sec/chip at beam=3 (the BASELINE.json headline).
+
+Workload mirrors the reference eval protocol (BASELINE.md): denseatt (the
+reference's best AIC model), vocab 9487+1, rnn_size 512, 14x14=196-slot att
+grid of 2048-d features, batch 50, max caption length 16, beam 3. The whole
+decode — attention family forward, diverse beam bookkeeping, EOS handling —
+is one compiled on-device program (ops/beam_search.py); the reference runs
+beam search per image in host Python (AttModel.py:167-196).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`vs_baseline` divides by 25 captions/sec/GPU — an estimate for the
+reference's host-looped per-image beam=3 decode on its era GPU (the
+reference checks in no throughput numbers, SURVEY.md §6); revisit when a
+measured torch baseline exists.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_CAPS_PER_SEC = 25.0  # estimated reference GPU throughput at beam=3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from unpaired_image_captioning_tpu import models
+    from unpaired_image_captioning_tpu.config import Config
+    from unpaired_image_captioning_tpu.models.base import Features
+
+    cfg = Config(caption_model="denseatt", vocab_size=9487, rnn_size=512,
+                 num_layers=1, input_encoding_size=512, att_hid_size=512,
+                 fc_feat_size=2048, att_feat_size=2048, seq_length=16,
+                 drop_prob_lm=0.5, batch_size=50)
+    model = models.setup(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    b, n = cfg.batch_size, 196
+    rng = np.random.RandomState(0)
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    feats = Features(
+        fc_feats=jnp.asarray(rng.randn(b, cfg.fc_feat_size), dtype),
+        att_feats=jnp.asarray(rng.randn(b, n, cfg.att_feat_size), dtype),
+        attri_feats=None,
+        att_masks=jnp.ones((b, n), jnp.float32),
+    )
+    params = jax.tree.map(
+        lambda x: x.astype(dtype) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        params)
+
+    @jax.jit
+    def decode(params, feats):
+        res = model.sample_beam(params, feats, beam_size=3)
+        return res.seq[:, 0], res.scores[:, 0]
+
+    seq, scores = decode(params, feats)  # compile + warmup
+    _ = np.asarray(seq)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        seq, scores = decode(params, feats)
+        # materialize on host: D2H forces completion even through remote
+        # execution tunnels where block_until_ready can return early
+        _ = np.asarray(scores)
+    dt = time.perf_counter() - t0
+    caps_per_sec = b * iters / dt
+
+    print(json.dumps({
+        "metric": "captions_per_sec_per_chip_beam3_denseatt",
+        "value": round(caps_per_sec, 2),
+        "unit": "captions/s",
+        "vs_baseline": round(caps_per_sec / BASELINE_CAPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,16 +1,22 @@
 """Test harness config: run everything on a virtual 8-device CPU mesh so
 multi-chip sharding paths are exercised without TPU hardware (SURVEY.md §4).
-Must set env vars before jax initializes."""
+
+NOTE: this image pre-imports jax with JAX_PLATFORMS=axon (TPU tunnel) via
+sitecustomize, so plain env setdefault is a no-op — force the platform via
+jax.config.update and XLA_FLAGS before any backend is initialized."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,166 @@
+"""Eval harness, ensemble, pivot, utils tests."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unpaired_image_captioning_tpu import constants as C
+from unpaired_image_captioning_tpu import models, pivot
+from unpaired_image_captioning_tpu.config import Config
+from unpaired_image_captioning_tpu.data.dataloader import CaptionDataLoader
+from unpaired_image_captioning_tpu.data.synthetic import make_caption_artifacts
+from unpaired_image_captioning_tpu.eval.eval_utils import (eval_split,
+                                                           eval_split_coco_unpaired,
+                                                           language_eval)
+from unpaired_image_captioning_tpu.models.base import Features
+from unpaired_image_captioning_tpu.models.ensemble import AttEnsemble
+from unpaired_image_captioning_tpu.models.nmt import NMTModel
+from unpaired_image_captioning_tpu.utils.text import (decode_sequence,
+                                                      expand_contractions,
+                                                      self_bleu)
+from unpaired_image_captioning_tpu.vocab import Dict, make_nmt_dict
+
+VOCAB = 40
+
+
+def make_cfg(model="fc"):
+    return Config(caption_model=model, vocab_size=VOCAB, rnn_size=24,
+                  num_layers=1, input_encoding_size=16, att_hid_size=12,
+                  fc_feat_size=32, att_feat_size=24, attri_feat_size=16,
+                  seq_length=10, drop_prob_lm=0.3, batch_size=4, seq_per_img=2)
+
+
+@pytest.fixture
+def loader(tmp_path):
+    jpath, h5path, mem = make_caption_artifacts(str(tmp_path), vocab_size=VOCAB)
+    return CaptionDataLoader(input_json=jpath, input_label_h5=h5path,
+                             batch_size=4, seq_per_img=2, att_feat_size=24,
+                             attri_feat_size=16, in_memory=mem)
+
+
+def test_eval_split(loader, rng, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = make_cfg()
+    model = models.setup(cfg)
+    params = model.init_params(rng)
+    refs = {}
+    for ix in loader.split_ix["val"]:
+        i1 = loader.label_start_ix[ix] - 1
+        i2 = loader.label_end_ix[ix] - 1
+        iid = loader.images[ix].get("id", ix)
+        refs[iid] = loader.vocab.decode_sequence(loader.labels[i1:i2 + 1])
+    out = eval_split(model, params, loader, split="val", num_images=2,
+                     beam_size=1, language_eval_refs=refs, model_id="t")
+    assert np.isfinite(out["loss"])
+    assert len(out["predictions"]) == 2
+    assert out["lang_stats"] is not None and "CIDEr" in out["lang_stats"]
+    assert os.path.exists("eval_results/zh_t_val.json")
+
+    out_beam = eval_split(model, params, loader, split="val", num_images=2,
+                          beam_size=3)
+    assert len(out_beam["predictions"]) == 2
+
+
+def test_language_eval_caches(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    preds = [{"image_id": 1, "caption": "a b c"}]
+    refs = {1: ["a b c", "a b d"]}
+    overall = language_eval("coco", preds, "m", "val", references=refs)
+    assert overall["Bleu_1"] > 0.9
+    cached = json.load(open("eval_results/coco_m_val.json"))
+    assert "overall" in cached and "imgToEval" in cached
+
+
+def test_ensemble(rng, loader):
+    cfg1, cfg2 = make_cfg("fc"), make_cfg("topdown")
+    m1, m2 = models.setup(cfg1), models.setup(cfg2)
+    p1 = m1.init_params(rng)
+    p2 = m2.init_params(jax.random.fold_in(rng, 1))
+    ens = AttEnsemble((m1, m2))
+    data = loader.get_batch("val")
+    feats = Features(fc_feats=jnp.asarray(data["fc_feats"]),
+                     att_feats=jnp.asarray(data["att_feats"]),
+                     attri_feats=jnp.asarray(data["attri_feats"]),
+                     att_masks=jnp.asarray(data["att_masks"]))
+    seq, logps = ens.sample([p1, p2], feats, rng)
+    assert seq.shape == (8, 10)
+    res = ens.sample_beam([p1, p2], feats, beam_size=2)
+    assert res.seq.shape == (8, 2, 10)
+
+
+def test_pivot_translate(rng, loader):
+    cfg = make_cfg()
+    cap = models.setup(cfg)
+    cap_p = cap.init_params(rng)
+    nmt = NMTModel(src_vocab_size=30, tgt_vocab_size=28, word_vec_size=16,
+                   rnn_size=24, layers=1, max_decode_len=8)
+    nmt_p = nmt.init_params(jax.random.fold_in(rng, 2))
+    data = loader.get_batch("val")
+    feats = Features(fc_feats=jnp.asarray(data["fc_feats"][:4]),
+                     att_feats=jnp.asarray(data["att_feats"][:4]),
+                     attri_feats=jnp.asarray(data["attri_feats"][:4]),
+                     att_masks=jnp.asarray(data["att_masks"][:4]))
+    cap2nmt = np.random.RandomState(0).randint(4, 30, size=(VOCAB + 1,)).astype(np.int32)
+    cap2nmt[0] = C.PAD
+    zh, en, attn = pivot.pivot_translate(cap, cap_p, nmt, nmt_p, feats,
+                                         jnp.asarray(cap2nmt), cap_beam=2,
+                                         nmt_beam=2, nmt_max_len=8)
+    assert zh.shape == (4, 10) and en.shape == (4, 8)
+
+
+def test_joint_vocab_and_map():
+    cap_vocab_words = {str(i + 1): w for i, w in
+                       enumerate(["猫", "狗", "跑", "卍"])}
+    from unpaired_image_captioning_tpu.vocab import CaptionVocab
+
+    cv = CaptionVocab(cap_vocab_words)
+    nd = make_nmt_dict()
+    for w in ["猫", "跑", "鸟"]:
+        nd.add(w)
+    cap_rows, nmt_rows = pivot.build_joint_vocab(cv, nd)
+    assert len(cap_rows) == 2  # 猫, 跑
+    table = pivot.build_caption_to_nmt_map(cv, nd)
+    assert table[0] == C.PAD
+    assert table[cv.word_to_ix["猫"]] == nd.lookup("猫")
+    assert table[cv.word_to_ix["狗"]] == C.UNK
+
+
+def test_dict_align_and_prune():
+    d1 = make_nmt_dict()
+    for w in ["a", "b", "c"]:
+        d1.add(w)
+        d1.add(w)
+    d1.add("rare")
+    d2 = make_nmt_dict()
+    d2.add("b")
+    al = d1.align(d2)
+    assert al[d1.lookup("b")] == d2.lookup("b")
+    assert al[d1.lookup("a")] == C.PAD
+    # prune keeps the `size` most frequent entries PLUS all specials
+    # (onmt/Dict.py:93-112): top-5 = a,b,c + 2 specials, union with the 4
+    # specials -> 7; "rare" (freq 1, inserted after the specials) drops.
+    pruned = d1.prune(5)
+    assert pruned.size() == 7
+    assert pruned.lookup("rare") is None
+    assert pruned.lookup("a") is not None
+
+
+def test_text_utils():
+    assert expand_contractions("there is a man's hat") == "a man is hat"
+    ix = {"1": "a", "2": "b"}
+    assert decode_sequence(ix, np.asarray([[1, 2, 0, 1]])) == ["a b"]
+    sb = self_bleu(["a b c", "a b c", "x y z"])
+    assert 0 <= sb <= 1
+
+
+def test_html_report(tmp_path):
+    from unpaired_image_captioning_tpu.utils.report import html_report
+
+    p = html_report([{"image_id": 1, "caption": "a cat"}],
+                    str(tmp_path / "r.html"), references={1: ["the cat"]})
+    content = open(p).read()
+    assert "a cat" in content and "the cat" in content

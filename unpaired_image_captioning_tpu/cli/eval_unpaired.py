@@ -1,0 +1,75 @@
+"""Unpaired (pivot) evaluation CLI — in-process two-model path.
+
+Parity: reference `eval_unpaired.py:412-482` (`eval`) — load the i2t
+captioner and the NMT translator, decode zh captions for COCO images, run
+the zh→en translation in-process (here: in the SAME device program,
+pivot.pivot_translate), post-edit, score en vs COCO refs and zh vs AIC
+refs; self-BLEU diversity (:282-287).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+def main(argv=None):
+    import jax
+
+    from .. import models, pivot
+    from ..config import Config, merge_checkpoint_config, parse_opt
+    from ..eval.eval_utils import eval_split_coco_unpaired
+    from ..models.nmt import NMTModel
+    from ..train.checkpoint import CheckpointManager, load_json
+    from ..utils.text import self_bleu
+    from ..vocab import Dict
+    from .train import build_loader
+
+    cfg = parse_opt(argv)
+    assert cfg.start_from, "--start_from <run dir> is required"
+    ckpt = CheckpointManager(cfg.start_from)
+    best = bool(cfg.load_best_score)
+    infos = ckpt.load_infos(best=best)
+    cfg = merge_checkpoint_config(cfg, Config.from_dict(infos["opt"]))
+
+    coco_loader = build_loader(cfg)
+    cfg.vocab_size = coco_loader.vocab.vocab_size
+    cfg.seq_length = coco_loader.seq_length
+
+    cap_model = models.setup(cfg)
+    cap_params = ckpt.load_params(
+        "model_i2t", cap_model.init_params(jax.random.PRNGKey(0)), best=best)
+    nmt_model = NMTModel.from_config(cfg)
+    nmt_params = ckpt.load_params(
+        "model_nmt", nmt_model.init_params(jax.random.PRNGKey(1)), best=best)
+
+    src_dict = Dict.from_state_dict(load_json(
+        os.path.join(cfg.start_from, "src_dict.json")))
+    tgt_dict = Dict.from_state_dict(load_json(
+        os.path.join(cfg.start_from, "tgt_dict.json")))
+    cap2nmt = pivot.build_caption_to_nmt_map(coco_loader.vocab, src_dict)
+    tgt_itos = {int(k): v for k, v in tgt_dict.idx_to_label.items()}
+
+    en_refs = None
+    if cfg.language_eval and cfg.input_coco_json and os.path.exists(cfg.input_coco_json):
+        with open(cfg.input_coco_json) as f:
+            en_refs = {int(k): v for k, v in json.load(f).items()}
+
+    out = eval_split_coco_unpaired(
+        cap_model, cap_params, nmt_model, nmt_params, coco_loader, cap2nmt,
+        tgt_itos, split="test", num_images=cfg.val_images_use,
+        cap_beam=cfg.beam_size, en_refs=en_refs, model_id=cfg.id)
+    out["self_bleu"] = self_bleu([p["caption"] for p in out["en_predictions"]],
+                                 sample=200)
+    os.makedirs("eval_results", exist_ok=True)
+    path = os.path.join("eval_results", f"unpaired_{cfg.id}_test.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("self-BLEU:", out["self_bleu"])
+    if out.get("en_lang_stats"):
+        print(json.dumps(out["en_lang_stats"], indent=1))
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

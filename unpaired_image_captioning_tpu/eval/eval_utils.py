@@ -1,0 +1,241 @@
+"""Evaluation harness.
+
+Parity: reference `eval_utils.py` —
+- `language_eval` (:26-85): route by dataset type ('coco' en / 'zh' AIC /
+  '30k' flickr refs), dump predictions json, run the metric stack, cache
+  `eval_results/<type>_<id>_<split>.json` with {overall, imgToEval};
+- `eval_split` (:208-327): val loop computing XE loss on labeled batches,
+  greedy/beam sampling, `decode_sequence`, `num_images` budget with
+  pop-on-wrap, optional NMT valid ppl/acc loop (:313-317);
+- `eval_split_coco_unpaired` (:329-473): the pivot eval — zh captions for
+  COCO images -> zh->en NMT -> post-edit -> score en vs COCO refs and zh vs
+  AIC refs. Here the decode+translate is ONE on-device program
+  (pivot.pivot_translate) instead of json/txt/subprocess plumbing;
+- `eval_split_coco_paired` (:476-567): plain single-model COCO eval.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ..losses.criterion import language_model_loss, nmt_loss
+from ..models.base import Features
+from ..utils.text import decode_sequence, expand_contractions
+
+
+def language_eval(dataset_type: str, preds: List[dict], model_id: str,
+                  split: str, *, references: Dict[Any, List[str]],
+                  eval_results_dir: str = "eval_results") -> dict:
+    """Score predictions against references; cache the result json.
+
+    `references`: image_id -> list of reference captions (the reference
+    loads these from annotation files; callers supply them directly so zh
+    (AIC), en (COCO), and 30k routes share one scorer stack)."""
+    from .metrics import Bleu, Cider, Meteor, Rouge
+
+    gts = {}
+    res = {}
+    for p in preds:
+        iid = p["image_id"]
+        if iid in references:
+            gts[iid] = references[iid]
+            res[iid] = [p["caption"]]
+    if not gts:
+        return {"error": 1}
+
+    overall: Dict[str, float] = {}
+    img_to_eval: Dict[Any, dict] = {i: {} for i in gts}
+
+    bleu_scores, bleu_per = Bleu(4).compute_score(gts, res)
+    for k in range(4):
+        overall[f"Bleu_{k + 1}"] = bleu_scores[k]
+        for i, iid in enumerate(sorted(gts)):
+            img_to_eval[iid][f"Bleu_{k + 1}"] = bleu_per[k][i]
+    for name, scorer in (("METEOR", Meteor()), ("ROUGE_L", Rouge()),
+                         ("CIDEr", Cider())):
+        mean, per = scorer.compute_score(gts, res)
+        overall[name] = mean
+        for i, iid in enumerate(sorted(gts)):
+            img_to_eval[iid][name] = per[i]
+
+    os.makedirs(eval_results_dir, exist_ok=True)
+    cache_path = os.path.join(eval_results_dir,
+                              f"{dataset_type}_{model_id}_{split}.json")
+    with open(cache_path, "w") as f:
+        json.dump({"overall": overall, "imgToEval": {str(k): v for k, v in
+                                                     img_to_eval.items()}}, f)
+    return overall
+
+
+def eval_split(model, params, loader, *, split: str = "val",
+               num_images: int = -1, beam_size: int = 1,
+               language_eval_refs: Optional[Dict] = None,
+               dataset_type: str = "zh", model_id: str = "model",
+               rng=None, nmt_model=None, nmt_params=None,
+               nmt_valid=None, verbose: bool = False) -> dict:
+    """Main val loop (parity: eval_utils.eval_split :208-327).
+
+    Returns {'loss', 'predictions', 'lang_stats', 'nmt_stats'}.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    loader.reset_iterator(split)
+    n_total = len(loader.split_ix[split])
+    budget = n_total if num_images <= 0 else min(num_images, n_total)
+
+    @jax.jit
+    def xe_loss_fn(params, feats, labels, masks):
+        out = model.forward(params, feats, labels, training=False)
+        return language_model_loss(out, labels[:, 1:], masks[:, 1:])
+
+    @jax.jit
+    def greedy_fn(params, feats, rng):
+        return model.sample(params, feats, rng)[0]
+
+    @jax.jit
+    def beam_fn(params, feats):
+        return model.sample_beam(params, feats, beam_size=beam_size).seq[:, 0]
+
+    losses, n_loss = 0.0, 0
+    predictions = []
+    seen = set()
+    done = False
+    while not done:
+        data = loader.get_batch(split)
+        feats = Features(
+            fc_feats=jnp.asarray(data["fc_feats"]),
+            att_feats=jnp.asarray(data["att_feats"]),
+            attri_feats=jnp.asarray(data["attri_feats"]),
+            att_masks=jnp.asarray(data["att_masks"]))
+        labels = jnp.asarray(data["labels"])
+        masks = jnp.asarray(data["masks"])
+        losses += float(xe_loss_fn(params, feats, labels, masks))
+        n_loss += 1
+
+        # one caption per image: take the first of each seq_per_img block
+        spi = loader.seq_per_img
+        first = jnp.arange(0, feats.fc_feats.shape[0], spi)
+        feats1 = jax.tree.map(
+            lambda x: x[first] if x is not None else None, feats)
+        if beam_size > 1:
+            seq = beam_fn(params, feats1)
+        else:
+            rng, sub = jax.random.split(rng)
+            seq = greedy_fn(params, feats1, sub)
+        caps = decode_sequence(loader.vocab.ix_to_word, np.asarray(seq))
+        for info, cap in zip(data["infos"], caps):
+            if info["id"] in seen:
+                continue
+            seen.add(info["id"])
+            predictions.append({"image_id": info["id"], "caption": cap})
+            if verbose:
+                print(f"image {info['id']}: {cap}")
+        # budget bookkeeping with pop-on-wrap (eval_utils.py:287-300)
+        if data["bounds"]["wrapped"] or len(seen) >= budget:
+            done = True
+    predictions = predictions[:budget]
+
+    lang_stats = None
+    if language_eval_refs is not None:
+        lang_stats = language_eval(dataset_type, predictions, model_id, split,
+                                   references=language_eval_refs)
+
+    nmt_stats = None
+    if nmt_model is not None and nmt_valid is not None:
+        from ..losses.criterion import NMTStats
+
+        total = NMTStats(jnp.float32(0), jnp.float32(0), jnp.float32(0))
+
+        @jax.jit
+        def nmt_eval_fn(params, src, lengths, tgt):
+            outs, _ = nmt_model.forward(params, src, lengths, tgt)
+            logits = nmt_model.generator_logits(params, outs)
+            return nmt_loss(logits, tgt[:, 1:])[1]
+
+        for _ in range(len(nmt_valid)):
+            nb, _ = nmt_valid.next_batch()
+            total = total + nmt_eval_fn(nmt_params, jnp.asarray(nb["src"]),
+                                        jnp.asarray(nb["lengths"]),
+                                        jnp.asarray(nb["tgt"]))
+        nmt_stats = {"valid_ppl": float(total.ppl()),
+                     "valid_acc": float(total.accuracy())}
+
+    return {"loss": losses / max(n_loss, 1), "predictions": predictions,
+            "lang_stats": lang_stats, "nmt_stats": nmt_stats}
+
+
+def eval_split_coco_unpaired(cap_model, cap_params, nmt_model, nmt_params,
+                             coco_loader, cap2nmt, nmt_tgt_itos: Dict[int, str],
+                             *, split: str = "val", num_images: int = -1,
+                             cap_beam: int = 5, nmt_beam: int = 15,
+                             nmt_max_len: int = 100,
+                             en_refs: Optional[Dict] = None,
+                             zh_refs: Optional[Dict] = None,
+                             model_id: str = "pivot") -> dict:
+    """Pivot eval (parity: eval_utils.py:329-473): decode zh for COCO
+    images, translate zh->en on device in the same program, post-edit,
+    score en vs COCO refs (and zh vs zh refs when given)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .. import constants as C
+    from ..pivot import pivot_translate
+
+    coco_loader.reset_iterator(split)
+    n_total = len(coco_loader.split_ix[split])
+    budget = n_total if num_images <= 0 else min(num_images, n_total)
+
+    @jax.jit
+    def pivot_fn(cap_params, nmt_params, feats):
+        return pivot_translate(cap_model, cap_params, nmt_model, nmt_params,
+                               feats, jnp.asarray(cap2nmt),
+                               cap_beam=cap_beam, nmt_beam=nmt_beam,
+                               nmt_max_len=nmt_max_len)
+
+    zh_preds, en_preds = [], []
+    seen = set()
+    done = False
+    while not done:
+        data = coco_loader.get_batch(split)
+        spi = coco_loader.seq_per_img
+        first = np.arange(0, data["fc_feats"].shape[0], spi)
+        feats = Features(
+            fc_feats=jnp.asarray(data["fc_feats"][first]),
+            att_feats=jnp.asarray(data["att_feats"][first]),
+            attri_feats=jnp.asarray(data["attri_feats"][first]),
+            att_masks=jnp.asarray(data["att_masks"][first]))
+        zh, en, attn = pivot_fn(cap_params, nmt_params, feats)
+        zh_caps = decode_sequence(coco_loader.vocab.ix_to_word, np.asarray(zh))
+        en_np = np.asarray(en)
+        for bi, info in enumerate(data["infos"]):
+            if info["id"] in seen:
+                continue
+            seen.add(info["id"])
+            words = []
+            for tok in en_np[bi]:
+                tok = int(tok)
+                if tok in (C.PAD, C.EOS):
+                    break
+                if tok != C.BOS:
+                    words.append(nmt_tgt_itos.get(tok, C.UNK_WORD))
+            en_cap = expand_contractions(" ".join(words))
+            zh_preds.append({"image_id": info["id"], "caption": zh_caps[bi]})
+            en_preds.append({"image_id": info["id"], "caption": en_cap})
+        if data["bounds"]["wrapped"] or len(seen) >= budget:
+            done = True
+
+    out = {"zh_predictions": zh_preds[:budget], "en_predictions": en_preds[:budget]}
+    if en_refs is not None:
+        out["en_lang_stats"] = language_eval("coco", out["en_predictions"],
+                                             model_id, split, references=en_refs)
+    if zh_refs is not None:
+        out["zh_lang_stats"] = language_eval("zh", out["zh_predictions"],
+                                             model_id, split, references=zh_refs)
+    return out

@@ -41,14 +41,20 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Optional[Mesh]) -> dict:
-    """Place every array leaf with the batch axis sharded over 'data'."""
+    """Place every array leaf with the batch axis sharded over 'data'.
+
+    Leaves whose leading dim doesn't divide the data axis are replicated
+    (correct but slower — size batches to a multiple of the data axis)."""
     if mesh is None:
         return batch
-    sh = batch_sharding(mesh)
+    n_data = mesh.shape["data"]
 
     def put(x):
-        if hasattr(x, "ndim") and x.ndim >= 1:
-            return jax.device_put(x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))))
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % n_data == 0:
+            return jax.device_put(
+                x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))))
+        if hasattr(x, "ndim"):
+            return jax.device_put(x, NamedSharding(mesh, P()))
         return x
 
     return jax.tree.map(put, batch)

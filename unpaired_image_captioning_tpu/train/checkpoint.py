@@ -35,8 +35,14 @@ def save_pytree(path: str, tree: Any) -> None:
 
 
 def load_pytree(path: str, template: Any) -> Any:
+    import jax.numpy as jnp
+
     with open(path, "rb") as f:
-        return flax.serialization.from_bytes(template, f.read())
+        restored = flax.serialization.from_bytes(template, f.read())
+    # msgpack restores numpy leaves; promote to device arrays so traced
+    # indexing (embedding lookups under scan) works
+    return jax.tree.map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, restored)
 
 
 def save_json(path: str, obj: Any) -> None:
