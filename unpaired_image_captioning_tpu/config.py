@@ -93,6 +93,7 @@ class Config:
     position_encoding: bool = False
     share_decoder_embeddings: bool = False
     dropout: float = 0.3
+    nmt_model_type: str = "rnn"           # rnn | transformer (train.sh zh2en recipe)
     nmt_src_vocab_size: int = 0           # filled from data
     nmt_tgt_vocab_size: int = 0
 

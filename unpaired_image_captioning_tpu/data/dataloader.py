@@ -44,6 +44,7 @@ class CaptionDataLoader:
                  norm_box_feat: int = 0, use_box_cls_prob: int = 0,
                  att_feat_size: int = 2048, attri_feat_size: int = 1601,
                  max_att_len: int = 196, max_gts: int = 5,
+                 input_fc_h5: str = "", input_att_h5: str = "",
                  nmt_dataset: Optional[NMTDataset] = None,
                  in_memory: Optional[dict] = None, seed: int = 123):
         import h5py
@@ -66,6 +67,9 @@ class CaptionDataLoader:
         self.input_box_dir = input_box_dir
         self.input_box_cls_prob_dir = input_box_cls_prob_dir
         self._mem = in_memory  # {'fc': {id: arr}, 'att': {...}, ...} for tests
+        # h5-backed feature variant (parity: dataloader_aic.py fc-h5 path)
+        self._fc_h5 = h5py.File(input_fc_h5, "r")["fc"] if input_fc_h5 else None
+        self._att_h5 = h5py.File(input_att_h5, "r")["att"] if input_att_h5 else None
 
         with open(input_json, "r", encoding="utf-8") as f:
             self.info = json.load(f)
@@ -136,8 +140,14 @@ class CaptionDataLoader:
     def _fetch_image(self, ix: int):
         img = self.images[ix]
         img_id = img.get("id", ix)
-        fc = self._load("fc", img_id)
-        att = self._load("att", img_id)
+        if self._fc_h5 is not None:
+            fc = np.asarray(self._fc_h5[ix], np.float32)
+        else:
+            fc = self._load("fc", img_id)
+        if self._att_h5 is not None:
+            att = np.asarray(self._att_h5[ix], np.float32)
+        else:
+            att = self._load("att", img_id)
         attri = None
         if att is not None:
             att = att.reshape(-1, att.shape[-1]).astype(np.float32)

@@ -1,0 +1,180 @@
+"""Reference-checkpoint weight conversion (torch state_dict → param trees).
+
+Lets a user of the reference load their trained `.pth` checkpoints into
+this framework (the parity requirement of SURVEY.md §7.2 step 2:
+token-identical greedy captions from converted reference weights).
+
+Name/layout maps follow the reference module structures:
+- `FCModel_NMT` (models/FCModel_NMT.py): `img_embed`, `embed`, `logit`,
+  `core.i2h`/`core.h2h` (fused here into one [E+H, 5H] matrix; bias =
+  i2h.bias + h2h.bias);
+- `AttModel` family (models/AttModel.py): `embed.0`, `fc_embed.0`,
+  `att_embed.<k>`, `ctx2att`, `logit`, plus per-core tensors — torch
+  `nn.LSTMCell` uses gate order (i, f, g, o) vs this framework's
+  (i, f, o, g), so rows are permuted;
+- NMT (models/NMT_Models.py): bidirectional `nn.LSTM` weights per
+  direction/layer (same gate permutation), StackedLSTM decoder cells,
+  GlobalAttention linear_in/linear_out, embeddings, generator.
+
+All inputs are numpy-valued state dicts (load with
+`torch.load(..., map_location='cpu')` then `.numpy()` per tensor).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _t(state, name):
+    return np.asarray(state[name])
+
+
+def _linear(state, prefix):
+    out = {"w": jnp.asarray(_t(state, prefix + ".weight").T)}
+    if prefix + ".bias" in state:
+        out["b"] = jnp.asarray(_t(state, prefix + ".bias"))
+    else:
+        out["b"] = jnp.zeros((out["w"].shape[1],), jnp.float32)
+    return out
+
+
+def _fused_cell_from_i2h_h2h(state, i2h, h2h):
+    """Reference maxout-cell layout [3H sigmoid | 2H maxout] matches this
+    framework directly — just fuse input and hidden blocks."""
+    wi = _t(state, i2h + ".weight").T   # [E, 5H]
+    wh = _t(state, h2h + ".weight").T   # [H, 5H]
+    b = _t(state, i2h + ".bias") + _t(state, h2h + ".bias")
+    return {"w": jnp.asarray(np.concatenate([wi, wh], axis=0)),
+            "b": jnp.asarray(b)}
+
+
+def _torch_lstmcell(state, prefix, *, ih="weight_ih", hh="weight_hh",
+                    bih="bias_ih", bhh="bias_hh"):
+    """torch LSTMCell/LSTM gates (i, f, g, o) -> this framework (i, f, o, g)."""
+    def permute(w):  # w: [4H, in]
+        h = w.shape[0] // 4
+        i, f, g, o = w[:h], w[h:2 * h], w[2 * h:3 * h], w[3 * h:]
+        return np.concatenate([i, f, o, g], axis=0)
+
+    wi = permute(_t(state, f"{prefix}.{ih}")).T
+    wh = permute(_t(state, f"{prefix}.{hh}")).T
+    b = np.zeros((wi.shape[1],), np.float32)
+    if f"{prefix}.{bih}" in state:
+        b = permute(_t(state, f"{prefix}.{bih}")[:, None])[:, 0]
+    if f"{prefix}.{bhh}" in state:
+        b = b + permute(_t(state, f"{prefix}.{bhh}")[:, None])[:, 0]
+    return {"w": jnp.asarray(np.concatenate([wi, wh], axis=0)),
+            "b": jnp.asarray(b)}
+
+
+def convert_fc_model(state: Dict[str, np.ndarray]) -> dict:
+    """FCModel_NMT state_dict -> FCModel params."""
+    return {
+        "img_embed": _linear(state, "img_embed"),
+        "embed": jnp.asarray(_t(state, "embed.weight")),
+        "core": _fused_cell_from_i2h_h2h(state, "core.i2h", "core.h2h"),
+        "logit": _linear(state, "logit"),
+    }
+
+
+def _attention(state, prefix="core.attention"):
+    return {"h2att": _linear(state, prefix + ".h2att"),
+            "alpha_net": _linear(state, prefix + ".alpha_net")}
+
+
+def convert_topdown_model(state: Dict[str, np.ndarray]) -> dict:
+    return {
+        "embed": jnp.asarray(_t(state, "embed.0.weight")),
+        "fc_embed": _linear(state, "fc_embed.0"),
+        "att_embed": _linear(state, "att_embed.0"),
+        "ctx2att": _linear(state, "ctx2att"),
+        "logit": [_linear(state, "logit")],
+        "core": {
+            "att_lstm": _torch_lstmcell(state, "core.att_lstm"),
+            "lang_lstm": _torch_lstmcell(state, "core.lang_lstm"),
+            "attention": _attention(state),
+        },
+    }
+
+
+def convert_att2in2_model(state: Dict[str, np.ndarray]) -> dict:
+    return {
+        "embed": jnp.asarray(_t(state, "embed.0.weight")),
+        "att_embed": _linear(state, "att_embed.0"),
+        "ctx2att": _linear(state, "ctx2att"),
+        "logit": [_linear(state, "logit")],
+        "core": {
+            "cell": _fused_cell_from_i2h_h2h(state, "core.i2h", "core.h2h"),
+            "a2c": _linear(state, "core.a2c"),
+            "attention": _attention(state),
+        },
+    }
+
+
+def convert_stack_dense_model(state: Dict[str, np.ndarray],
+                              dense: bool = True) -> dict:
+    core = {
+        "lstm0": _fused_cell_from_i2h_h2h(state, "core.lstm0.i2h", "core.lstm0.h2h"),
+        "lstm1": _fused_cell_from_i2h_h2h(state, "core.lstm1.i2h", "core.lstm1.h2h"),
+        "lstm2": _fused_cell_from_i2h_h2h(state, "core.lstm2.i2h", "core.lstm2.h2h"),
+        "att1": _attention(state, "core.att1"),
+        "att2": _attention(state, "core.att2"),
+        "emb2": _linear(state, "core.emb2"),
+    }
+    if dense:
+        core["fusion1"] = _linear(state, "core.fusion1.0")
+        core["fusion2"] = _linear(state, "core.fusion2.0")
+    return {
+        "embed": jnp.asarray(_t(state, "embed.0.weight")),
+        "fc_embed": _linear(state, "fc_embed.0"),
+        "att_embed": _linear(state, "att_embed.0"),
+        "ctx2att": _linear(state, "ctx2att"),
+        "logit": [_linear(state, "logit")],
+        "core": core,
+    }
+
+
+def convert_nmt_model(state: Dict[str, np.ndarray], *, layers: int = 1,
+                      brnn: bool = True) -> dict:
+    """Reference NMT (Encoder/Decoder/NMTModel + generator) -> NMTModel params."""
+    p = {"encoder": {"embeddings": {"word_lut": jnp.asarray(
+            _t(state, "encoder.embeddings.word_lut.weight"))},
+         "layers": []},
+         "decoder": {"embeddings": {"word_lut": jnp.asarray(
+             _t(state, "decoder.embeddings.word_lut.weight"))},
+             "rnn": [], "attn": {}},
+         }
+    for l in range(layers):
+        lp = {"fwd": _torch_lstmcell(state, "encoder.rnn",
+                                     ih=f"weight_ih_l{l}", hh=f"weight_hh_l{l}",
+                                     bih=f"bias_ih_l{l}", bhh=f"bias_hh_l{l}")}
+        if brnn:
+            lp["bwd"] = _torch_lstmcell(
+                state, "encoder.rnn", ih=f"weight_ih_l{l}_reverse",
+                hh=f"weight_hh_l{l}_reverse", bih=f"bias_ih_l{l}_reverse",
+                bhh=f"bias_hh_l{l}_reverse")
+        p["encoder"]["layers"].append(lp)
+    for l in range(layers):
+        p["decoder"]["rnn"].append(_torch_lstmcell(
+            state, f"decoder.rnn.layers.{l}"))
+    p["decoder"]["attn"] = {
+        "linear_in": {"w": jnp.asarray(_t(state, "decoder.attn.linear_in.weight").T)},
+        "linear_out": {"w": jnp.asarray(_t(state, "decoder.attn.linear_out.weight").T)},
+    }
+    if "generator.0.weight" in state:
+        p["generator"] = _linear(state, "generator.0")
+    elif "generator.weight" in state:
+        p["generator"] = _linear(state, "generator")
+    return p
+
+
+CONVERTERS = {
+    "fc": convert_fc_model,
+    "topdown": convert_topdown_model,
+    "att2in2": convert_att2in2_model,
+    "stackatt": lambda s: convert_stack_dense_model(s, dense=False),
+    "denseatt": lambda s: convert_stack_dense_model(s, dense=True),
+}

@@ -369,6 +369,9 @@ class NMTModel:
     share_decoder_embeddings: bool = False
     max_decode_len: int = 100   # translateBatch cap (NMT_Models.py:348)
     beam_size: int = 15         # NMT_Models.py:323
+    remat: bool = False         # rematerialize decoder steps (the TPU-native
+    # answer to the reference's sharded MemoryEfficientLoss,
+    # onmt/Loss.py:100-213: trade recompute for activation memory)
 
     @property
     def encoder(self) -> NMTEncoder:
@@ -418,6 +421,16 @@ class NMTModel:
                     + params["generator"]["b"])
         return linear(params["generator"], output).astype(jnp.float32)
 
+    @staticmethod
+    def src_embedding(params):
+        """Source word table (Weight_Trans coupling point)."""
+        return params["encoder"]["embeddings"]["word_lut"]
+
+    @staticmethod
+    def tgt_embedding(params):
+        """Target word table (Weight_Trans_y coupling point)."""
+        return params["decoder"]["embeddings"]["word_lut"]
+
     # ---- training forward --------------------------------------------------
     def forward(self, params, src_ids, src_lengths, tgt_ids, *,
                 training=False, rng=None):
@@ -441,6 +454,8 @@ class NMTModel:
                                         training=training, rng=srng)
             return state, (out, attn)
 
+        if self.remat:
+            body = jax.checkpoint(body)
         _, (outs, attns) = jax.lax.scan(body, state0,
                                         (tgt_ids[:, :-1].T, step_rngs))
         return jnp.moveaxis(outs, 0, 1), jnp.moveaxis(attns, 0, 1)

@@ -1,0 +1,248 @@
+"""Transformer NMT: the zh→en transformer recipe.
+
+Parity role: the reference trains its best zh2en translator with an
+external OpenNMT/tensor2tensor transformer (train.sh:147-265,
+AI_Challenger/Baselines translation_and_interpretation run.sh:1-20) and the
+vendored fork ships transformer encoder/decoder layers
+(onmt/modules/Transformer.py, MultiHeadedAttn.py). This module provides the
+same capability natively, sharing the attention/FFN/LayerNorm primitives
+with the caption transformer (models/transformer.py) and exposing the SAME
+interface as the recurrent `NMTModel` (forward / generator_logits /
+translate_batch), so the trainer, translate CLI, and pivot path accept
+either via ``--nmt_model_type transformer``.
+
+Decode: fixed-size per-layer K/V cache (scan-safe static shapes), batched
+beam via ops.beam_search with BOS/EOS ids.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from .base import linear, linear_init
+from .transformer import (DROPOUT, ffn_apply, ffn_init, layer_norm,
+                          layer_norm_init, mha_apply, mha_init,
+                          positional_encoding)
+from .base import dropout as _dropout
+
+
+def _rngs(rng, n):
+    if rng is None:
+        return [None] * n
+    return list(jax.random.split(rng, n))
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerNMTModel:
+    src_vocab_size: int
+    tgt_vocab_size: int
+    d_model: int = 512
+    d_ff: int = 2048
+    num_layers: int = 6
+    num_heads: int = 8
+    dropout: float = 0.1
+    share_decoder_embeddings: bool = False
+    max_decode_len: int = 100
+    beam_size: int = 15
+
+    @classmethod
+    def from_config(cls, cfg) -> "TransformerNMTModel":
+        return cls(src_vocab_size=cfg.nmt_src_vocab_size,
+                   tgt_vocab_size=cfg.nmt_tgt_vocab_size,
+                   d_model=cfg.word_vec_size, d_ff=cfg.rnn_size,
+                   num_layers=cfg.layers, num_heads=cfg.num_heads,
+                   dropout=cfg.dropout,
+                   share_decoder_embeddings=cfg.share_decoder_embeddings)
+
+    def init_params(self, rng) -> dict:
+        d = self.d_model
+        N = self.num_layers
+        ks = _rngs(rng, 4 + 10 * N)
+        i = iter(range(len(ks)))
+        p = {
+            "src_embed": jax.random.normal(ks[next(i)], (self.src_vocab_size, d)) * (d ** -0.5),
+            "tgt_embed": jax.random.normal(ks[next(i)], (self.tgt_vocab_size, d)) * (d ** -0.5),
+            "enc_norm": layer_norm_init(d),
+            "dec_norm": layer_norm_init(d),
+            "enc": [], "dec": [],
+        }
+        if not self.share_decoder_embeddings:
+            p["generator"] = linear_init(ks[next(i)], d, self.tgt_vocab_size)
+        else:
+            p["generator"] = {"b": jnp.zeros((self.tgt_vocab_size,))}
+        for _ in range(N):
+            p["enc"].append({"self": mha_init(ks[next(i)], d),
+                             "ffn": ffn_init(ks[next(i)], d, self.d_ff),
+                             "n1": layer_norm_init(d), "n2": layer_norm_init(d)})
+        for _ in range(N):
+            p["dec"].append({"self": mha_init(ks[next(i)], d),
+                             "src": mha_init(ks[next(i)], d),
+                             "ffn": ffn_init(ks[next(i)], d, self.d_ff),
+                             "n1": layer_norm_init(d), "n2": layer_norm_init(d),
+                             "n3": layer_norm_init(d)})
+        return p
+
+    def _embed(self, table, ids, offset=None):
+        d = self.d_model
+        x = table[ids] * math.sqrt(d)
+        x = x * (ids != C.PAD)[..., None].astype(x.dtype)
+        if offset is None:
+            t = ids.shape[-1]
+            return x + positional_encoding(t, d)[None].astype(x.dtype)
+        return x + positional_encoding(5000, d)[offset].astype(x.dtype)
+
+    def encode(self, params, src_ids, lengths, *, training=False, rng=None):
+        r = _rngs(rng, 1 + 3 * self.num_layers)
+        x = self._embed(params["src_embed"], src_ids)
+        x = _dropout(r[0], x, self.dropout, training)
+        s = src_ids.shape[-1]
+        src_mask = (jnp.arange(s)[None, :] < lengths[:, None])[:, None, :]
+        ri = 1
+        for lp in params["enc"]:
+            y = layer_norm(lp["n1"], x)
+            k = linear(lp["self"]["k"], y)
+            v = linear(lp["self"]["v"], y)
+            x = x + _dropout(r[ri], mha_apply(lp["self"], y, k, v, src_mask,
+                                              self.num_heads, training=training,
+                                              rng=r[ri + 1]), DROPOUT, training)
+            y = layer_norm(lp["n2"], x)
+            x = x + _dropout(r[ri + 2], ffn_apply(lp["ffn"], y, training=training),
+                             DROPOUT, training)
+            ri += 3
+        return layer_norm(params["enc_norm"], x), src_mask
+
+    def generator_logits(self, params, output):
+        if self.share_decoder_embeddings:
+            return (jnp.dot(output, params["tgt_embed"].T,
+                            preferred_element_type=jnp.float32)
+                    + params["generator"]["b"])
+        return linear(params["generator"], output).astype(jnp.float32)
+
+    @staticmethod
+    def src_embedding(params):
+        return params["src_embed"]
+
+    @staticmethod
+    def tgt_embedding(params):
+        return params["tgt_embed"]
+
+    def forward(self, params, src_ids, src_lengths, tgt_ids, *,
+                training=False, rng=None):
+        """Parallel teacher forcing. Returns (decoder outputs [B, T-1, d],
+        cross-attentions placeholder None) matching NMTModel.forward."""
+        r = _rngs(rng, 2 + 5 * self.num_layers)
+        memory, src_mask = self.encode(params, src_ids, src_lengths,
+                                       training=training, rng=r[0])
+        tgt_in = tgt_ids[:, :-1]
+        x = self._embed(params["tgt_embed"], tgt_in)
+        x = _dropout(r[1], x, self.dropout, training)
+        t = tgt_in.shape[-1]
+        pad_ok = tgt_in != C.PAD
+        causal = jnp.tril(jnp.ones((t, t), bool))
+        tgt_mask = jnp.logical_and(pad_ok[:, None, :], causal[None])
+        ri = 2
+        for lp in params["dec"]:
+            y = layer_norm(lp["n1"], x)
+            k = linear(lp["self"]["k"], y)
+            v = linear(lp["self"]["v"], y)
+            x = x + _dropout(r[ri], mha_apply(lp["self"], y, k, v, tgt_mask,
+                                              self.num_heads, training=training,
+                                              rng=r[ri + 1]), DROPOUT, training)
+            y = layer_norm(lp["n2"], x)
+            mk = linear(lp["src"]["k"], memory)
+            mv = linear(lp["src"]["v"], memory)
+            x = x + _dropout(r[ri + 2], mha_apply(lp["src"], y, mk, mv, src_mask,
+                                                  self.num_heads,
+                                                  training=training,
+                                                  rng=r[ri + 3]), DROPOUT, training)
+            y = layer_norm(lp["n3"], x)
+            x = x + _dropout(r[ri + 4], ffn_apply(lp["ffn"], y, training=training),
+                             DROPOUT, training)
+            ri += 5
+        return layer_norm(params["dec_norm"], x), None
+
+    def translate_batch(self, params, src_ids, src_lengths, *,
+                        beam_size: Optional[int] = None, n_best: int = 1,
+                        max_len: Optional[int] = None):
+        from ..ops.beam_search import beam_search
+
+        beam_size = beam_size or self.beam_size
+        T = max_len or self.max_decode_len
+        d = self.d_model
+        memory, src_mask = self.encode(params, src_ids, src_lengths)
+        cross = [{"k": linear(lp["src"]["k"], memory),
+                  "v": linear(lp["src"]["v"], memory)}
+                 for lp in params["dec"]]
+        b = src_ids.shape[0]
+        ctx = {"cross": cross, "src_mask": src_mask, "memory": memory}
+        state0 = {
+            "k": jnp.zeros((b, self.num_layers, T, d), memory.dtype),
+            "v": jnp.zeros((b, self.num_layers, T, d), memory.dtype),
+            "t": jnp.zeros((b,), jnp.int32),
+            "attn": jnp.zeros((b, src_ids.shape[1]), jnp.float32),
+        }
+
+        def step_fn(p, c, state, it):
+            t = state["t"][0]
+            x = (p["tgt_embed"][it] * math.sqrt(d)
+                 + positional_encoding(T, d)[t].astype(memory.dtype))[:, None, :]
+            new_k, new_v = state["k"], state["v"]
+            bsz = it.shape[0]
+            pos_ok = jnp.broadcast_to((jnp.arange(T) <= t)[None, None, :],
+                                      (bsz, 1, T))
+            attn_out = state["attn"]
+            for li, lp in enumerate(p["dec"]):
+                y = layer_norm(lp["n1"], x)
+                k_t = linear(lp["self"]["k"], y)[:, 0]
+                v_t = linear(lp["self"]["v"], y)[:, 0]
+                write = (jnp.arange(T) == t)[None, :, None]
+                new_k = new_k.at[:, li].set(
+                    jnp.where(write, k_t[:, None, :], new_k[:, li]))
+                new_v = new_v.at[:, li].set(
+                    jnp.where(write, v_t[:, None, :], new_v[:, li]))
+                x = x + mha_apply(lp["self"], y, new_k[:, li], new_v[:, li],
+                                  pos_ok, self.num_heads)
+                y = layer_norm(lp["n2"], x)
+                # cross-attention; also expose mean-head weights for UNK replace
+                q = linear(lp["src"]["q"], y)
+                nh = self.num_heads
+                qh = q.reshape(bsz, 1, nh, d // nh)
+                kh = c["cross"][li]["k"].reshape(bsz, -1, nh, d // nh)
+                scores = jnp.einsum("bthd,bshd->bhts", qh, kh) / math.sqrt(d // nh)
+                scores = jnp.where(c["src_mask"][:, None, :, :], scores, -1e9)
+                w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+                vh = c["cross"][li]["v"].reshape(bsz, -1, nh, d // nh)
+                ctx_vec = jnp.einsum("bhts,bshd->bthd", w.astype(x.dtype), vh)
+                ctx_vec = ctx_vec.reshape(bsz, 1, d)
+                x = x + linear(lp["src"]["o"], ctx_vec)
+                if li == len(p["dec"]) - 1:
+                    attn_out = jnp.mean(w[:, :, 0, :], axis=1)
+                y = layer_norm(lp["n3"], x)
+                x = x + ffn_apply(lp["ffn"], y)
+            x = layer_norm(p["dec_norm"], x)
+            logits = self.generator_logits(p, x[:, 0])
+            state = {"k": new_k, "v": new_v, "t": state["t"] + 1,
+                     "attn": attn_out}
+            return jax.nn.log_softmax(logits, axis=-1), state
+
+        return beam_search(
+            step_fn, params, ctx, state0, beam_size=beam_size, seq_length=T,
+            bos_token=C.BOS, eos_token=C.EOS, eos_is_zero=False,
+            suppress_unk=False,
+            record_aux_from_state=lambda st: jnp.argmax(st["attn"], axis=-1))
+
+
+def make_nmt_model(cfg):
+    """Factory: --nmt_model_type {rnn, transformer}."""
+    from .nmt import NMTModel
+
+    kind = getattr(cfg, "nmt_model_type", "rnn")
+    if kind == "transformer":
+        return TransformerNMTModel.from_config(cfg)
+    return NMTModel.from_config(cfg)

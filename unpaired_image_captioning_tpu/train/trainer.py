@@ -27,8 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from .. import models as model_zoo
-from ..losses.criterion import (language_model_loss, nmt_loss, reward_loss,
-                                weight_trans_loss)
+from ..losses.criterion import (kld_loss, language_model_loss, nmt_loss,
+                                reward_loss, weight_trans_loss)
 from ..losses.rewards import get_self_critical_reward
 from ..models.base import Features
 from ..models.nmt import NMTModel
@@ -40,7 +40,8 @@ from .optimizer import DualOptim
 class Trainer:
     def __init__(self, cfg, *, mesh=None, df_table: Optional[DfTable] = None,
                  joint_vocab: Optional[tuple] = None,
-                 joint_vocab_y: Optional[tuple] = None, rng=None):
+                 joint_vocab_y: Optional[tuple] = None,
+                 nmt_teacher_params=None, rng=None):
         self.cfg = cfg
         self.mesh = mesh
         rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
@@ -50,11 +51,16 @@ class Trainer:
         self.i2t_model = model_zoo.setup(cfg) if cfg.vocab_size else None
         self.i2t_params = (self.i2t_model.init_params(k1)
                            if self.i2t_model else None)
-        self.nmt_model = (NMTModel.from_config(cfg)
+        from ..models.nmt_transformer import make_nmt_model
+
+        self.nmt_model = (make_nmt_model(cfg)
                           if cfg.nmt_src_vocab_size else None)
         self.nmt_params = (self.nmt_model.init_params(k2)
                            if self.nmt_model else None)
 
+        # frozen teacher for the KLD distillation path (criterion.py:285-292,
+        # nmt_kld_train_flag)
+        self.nmt_teacher_params = nmt_teacher_params
         self.optim = DualOptim(cfg, self.i2t_params, self.nmt_params)
         self.df_table = df_table if df_table is not None else empty_df_table()
         # joint-vocab alignment rows for Weight_Trans (criterion.py:294-434)
@@ -118,12 +124,38 @@ class Trainer:
             total = total + nmt_l
 
             if self.joint_vocab is not None and self.i2t_model is not None:
+                # Weight_Trans: zh captioner embed <-> NMT src embed
+                # (criterion.py:294-364)
                 cap_rows, src_rows = self.joint_vocab
                 wemb = weight_trans_loss(i2t_p["embed"],
-                                         nmt_p["encoder"]["embeddings"]["word_lut"],
+                                         self.nmt_model.src_embedding(nmt_p),
                                          cap_rows, src_rows)
                 metrics["wemb_loss"] = wemb
                 total = total + wemb
+            if (self.cfg.nmt_kld_train_flag
+                    and self.nmt_teacher_params is not None):
+                t_outs, _ = self.nmt_model.forward(
+                    jax.lax.stop_gradient(self.nmt_teacher_params),
+                    nb["src"], nb["lengths"], nb["tgt"])
+                t_logits = self.nmt_model.generator_logits(
+                    self.nmt_teacher_params, t_outs)
+                t_probs = jax.nn.softmax(
+                    jax.lax.stop_gradient(t_logits), axis=-1)
+                s_logprobs = jax.nn.log_softmax(logits, axis=-1)
+                kld = kld_loss(s_logprobs, t_probs)
+                metrics["nmt_kld"] = kld
+                total = total + kld
+
+            if self.joint_vocab_y is not None:
+                # Weight_Trans_y: NMT tgt embed <-> FROZEN pretrained en
+                # (COCO) captioner embedding (criterion.py:366-434 loads the
+                # coco checkpoint's table as a constant)
+                coco_emb, coco_rows, tgt_rows = self.joint_vocab_y
+                wemb_y = weight_trans_loss(
+                    self.nmt_model.tgt_embedding(nmt_p),
+                    jax.lax.stop_gradient(coco_emb), tgt_rows, coco_rows)
+                metrics["wemb_y_loss"] = wemb_y
+                total = total + wemb_y
 
         metrics["total_loss"] = total
         return total, metrics
@@ -189,6 +221,28 @@ class Trainer:
         out["lr_nmt"] = float(lr_nmt)
         out["ss_prob"] = float(ss_prob)
         return out
+
+    # ------------------------------------------------------------- profiling
+    def profile(self, data_iter, n_steps: int = 5, log_dir: str = None,
+                sc_flag: bool = False) -> dict:
+        """Capture a jax.profiler device trace over n_steps training steps
+        (SURVEY.md §5.1: the reference only has wall-clock prints,
+        train.py:60-63 — this is the tracing upgrade). Returns host/device
+        timing summary; trace viewable in TensorBoard/Perfetto."""
+        import time
+
+        import jax.profiler
+
+        log_dir = log_dir or (self.cfg.checkpoint_path + "/trace")
+        times = []
+        with jax.profiler.trace(log_dir):
+            for _ in range(n_steps):
+                t0 = time.perf_counter()
+                self.train(next(data_iter), sc_flag=sc_flag)
+                times.append(time.perf_counter() - t0)
+        return {"trace_dir": log_dir, "steps": n_steps,
+                "mean_step_s": sum(times) / len(times),
+                "min_step_s": min(times)}
 
     # ----------------------------------------------------------------- ckpt
     def save(self, loader_state: Optional[dict] = None,
