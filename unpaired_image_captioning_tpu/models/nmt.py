@@ -165,6 +165,50 @@ class NMTEncoder:
         return x, (jnp.stack(finals_h), jnp.stack(finals_c))
 
 
+@dataclasses.dataclass(frozen=True)
+class NMTImageEncoder:
+    """im2text-style image encoder for the NMT decoder.
+
+    Parity: reference `onmt/modules/ImageEncoder.py` (vendored, im2text) —
+    conv feature grid flattened row-wise through a bidirectional LSTM with a
+    learned per-row position embedding, producing an NMT-compatible
+    (context, hidden) pair. Here the conv grid comes from models/resnet.
+    """
+
+    feat_size: int = 2048
+    rnn_size: int = 512
+    layers: int = 1
+    dropout: float = 0.3
+
+    def _enc(self) -> "NMTEncoder":
+        return NMTEncoder(vocab_size=1, word_vec_size=self.feat_size,
+                          rnn_size=self.rnn_size, layers=self.layers,
+                          brnn=True, dropout=self.dropout)
+
+    def init_params(self, rng) -> dict:
+        k1, k2 = jax.random.split(rng)
+        p = self._enc().init_params(k1)
+        del p["embeddings"]
+        p["row_embed"] = jax.random.normal(k2, (64, self.feat_size)) * 0.01
+        return p
+
+    def apply(self, params, feat_grid, *, training=False, rng=None):
+        """feat_grid: [B, H, W, C] -> (context [B, H*W, rnn], (h, c))."""
+        b, h, w, c = feat_grid.shape
+        x = feat_grid + params["row_embed"][:h][None, :, None, :].astype(feat_grid.dtype)
+        x = x.reshape(b, h * w, c)
+        lengths = jnp.full((b,), h * w, jnp.int32)
+        enc = self._enc()
+        finals_h, finals_c = [], []
+        for lp in params["layers"]:
+            out_f, h_f, c_f = enc._scan_dir(lp["fwd"], x, lengths, False)
+            out_b, h_b, c_b = enc._scan_dir(lp["bwd"], x, lengths, True)
+            x = jnp.concatenate([out_f, out_b], axis=-1)
+            finals_h.append(jnp.concatenate([h_f, h_b], axis=-1))
+            finals_c.append(jnp.concatenate([c_f, c_b], axis=-1))
+        return x, (jnp.stack(finals_h), jnp.stack(finals_c))
+
+
 # ---------------------------------------------------------------------------
 # Global attention
 # ---------------------------------------------------------------------------
@@ -238,6 +282,7 @@ class NMTDecoder:
     coverage_attn: bool = False
     context_gate: Optional[str] = None
     position_encoding: bool = False
+    copy_attn: bool = False
 
     @property
     def rnn_input_size(self) -> int:
@@ -263,6 +308,11 @@ class NMTDecoder:
         if self.coverage_attn:
             p["linear_cover"] = {"w": linear_init(
                 jax.random.fold_in(ks[3], 2), 1, self.rnn_size)["w"]}
+        if self.copy_attn:
+            # separate copy attention (Decoder.__init__ :178-181)
+            p["copy_attn"] = global_attention_init(
+                jax.random.fold_in(ks[3], 3), self.rnn_size,
+                self.attention_type)
         return p
 
     def init_state(self, enc_hidden, context) -> dict:
@@ -285,6 +335,8 @@ class NMTDecoder:
             state["upper_bounds"] = ub
         if self.coverage_attn:
             state["coverage"] = jnp.zeros((b, s), jnp.float32)
+        if self.copy_attn:
+            state["copy_attn"] = jnp.zeros((b, s), jnp.float32)
         return state
 
     def step(self, params, context, state, it, *, src_mask=None,
@@ -338,6 +390,13 @@ class NMTDecoder:
         new_state["input_feed"] = out if self.input_feed else state["input_feed"]
         new_state["attn"] = attn
         new_state["t"] = state["t"] + 1
+        if self.copy_attn:
+            # COPY stage (Decoder.forward :255-258): separate attention
+            # from the attentional output over the raw context
+            _, cp = global_attention_apply(
+                params["copy_attn"], out, context,
+                attn_type=self.attention_type, mask=src_mask)
+            new_state["copy_attn"] = cp
         if "upper_bounds" in state:
             new_state["upper_bounds"] = state["upper_bounds"] - attn
         if self.coverage_attn:
@@ -367,6 +426,7 @@ class NMTModel:
     context_gate: Optional[str] = None
     position_encoding: bool = False
     share_decoder_embeddings: bool = False
+    copy_attn: bool = False
     max_decode_len: int = 100   # translateBatch cap (NMT_Models.py:348)
     beam_size: int = 15         # NMT_Models.py:323
     remat: bool = False         # rematerialize decoder steps (the TPU-native
@@ -385,7 +445,7 @@ class NMTModel:
                           self.layers, self.input_feed, self.dropout,
                           self.attention_type, self.attn_transform, self.c_attn,
                           self.fertility, self.coverage_attn, self.context_gate,
-                          self.position_encoding)
+                          self.position_encoding, self.copy_attn)
 
     @classmethod
     def from_config(cls, cfg) -> "NMTModel":
@@ -400,6 +460,7 @@ class NMTModel:
             context_gate=cfg.context_gate,
             position_encoding=cfg.position_encoding,
             share_decoder_embeddings=cfg.share_decoder_embeddings,
+            copy_attn=cfg.copy_attn,
         )
 
     def init_params(self, rng) -> dict:
@@ -412,7 +473,40 @@ class NMTModel:
             p["generator"] = linear_init(k3, self.rnn_size, self.tgt_vocab_size)
         else:
             p["generator"] = {"b": jnp.zeros((self.tgt_vocab_size,))}
+        if self.copy_attn:
+            # CopyGenerator's copy gate (onmt/modules/CopyGenerator.py)
+            p["copy_gate"] = linear_init(jax.random.fold_in(k3, 1),
+                                         self.rnn_size, 1)
         return p
+
+    def copy_generator_logprobs(self, params, outputs, copy_attns, src_ids,
+                                src2tgt):
+        """CopyGenerator mixing (parity: onmt/modules/CopyGenerator.py and
+        the nmt_translator copy-scoring path, misc/nmt_translator.py:124-144):
+
+            p(w) = (1 - p_copy) * softmax(Wh)[w]
+                 + p_copy * sum_j attn_j * [src2tgt[src_j] == w]
+
+        src2tgt: [src_vocab] int map (Dict.align; unmapped -> UNK). The
+        reference scores unmapped copies in an extended dynamic vocab; here
+        they collapse onto UNK and get surface-replaced at decode time via
+        the attention-argmax UNK replacement.
+        """
+        logits = self.generator_logits(params, outputs)
+        p_vocab = jax.nn.softmax(logits, axis=-1)
+        p_copy = jax.nn.sigmoid(
+            linear(params["copy_gate"], outputs).astype(jnp.float32))
+        tgt_of_src = jnp.take(src2tgt, src_ids, axis=0)      # [B, S]
+        if copy_attns.ndim == 3:                              # [B, T, S]
+            one_hot = jax.nn.one_hot(tgt_of_src, self.tgt_vocab_size,
+                                     dtype=jnp.float32)       # [B, S, V]
+            copy_dist = jnp.einsum("bts,bsv->btv", copy_attns, one_hot)
+        else:                                                 # [B, S]
+            one_hot = jax.nn.one_hot(tgt_of_src, self.tgt_vocab_size,
+                                     dtype=jnp.float32)
+            copy_dist = jnp.einsum("bs,bsv->bv", copy_attns, one_hot)
+        p = (1.0 - p_copy) * p_vocab + p_copy * copy_dist
+        return jnp.log(jnp.maximum(p, 1e-20))
 
     def generator_logits(self, params, output):
         if self.share_decoder_embeddings:
@@ -452,12 +546,16 @@ class NMTModel:
             srng = srng if training and rng is not None else None
             out, attn, state = dec.step(params["decoder"], context, state, tok,
                                         training=training, rng=srng)
-            return state, (out, attn)
+            extra = state["copy_attn"] if self.copy_attn else attn
+            return state, (out, attn, extra)
 
         if self.remat:
             body = jax.checkpoint(body)
-        _, (outs, attns) = jax.lax.scan(body, state0,
-                                        (tgt_ids[:, :-1].T, step_rngs))
+        _, (outs, attns, extras) = jax.lax.scan(body, state0,
+                                                (tgt_ids[:, :-1].T, step_rngs))
+        if self.copy_attn:
+            return jnp.moveaxis(outs, 0, 1), (jnp.moveaxis(attns, 0, 1),
+                                              jnp.moveaxis(extras, 0, 1))
         return jnp.moveaxis(outs, 0, 1), jnp.moveaxis(attns, 0, 1)
 
     # ---- batched beam translate ---------------------------------------------

@@ -66,18 +66,13 @@ def text2cocojson(txt_path: str, ids: Sequence, json_path: str) -> None:
         json.dump(preds, f)
 
 
-# pivot post-edit rules (eval_utils.py:417-420 + misc/expander flavor)
-_CONTRACTIONS = {
-    "'s": " is", "'re": " are", "'ve": " have", "'ll": " will",
-    "n't": " not", "'d": " would", "'m": " am",
-}
-
-
 def expand_contractions(text: str) -> str:
-    out = text
-    for k, v in _CONTRACTIONS.items():
-        out = out.replace(k, v)
-    # pivot-eval post edits
+    """Pivot post-edit (eval_utils.py:417-420): expand contractions with the
+    full rule-based expander (misc/expander parity, utils/expander.py) and
+    strip the leading "there is"."""
+    from .expander import expand_sentence
+
+    out = expand_sentence(text)
     if out.startswith("there is "):
         out = out[len("there is "):]
     return out.strip()
