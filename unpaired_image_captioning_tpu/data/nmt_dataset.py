@@ -41,6 +41,26 @@ class NMTDataset:
         with h5py.File(path, "r") as f:
             return cls(f["src"][...], f["tgt"][...], batch_size, **kw)
 
+    @classmethod
+    def from_reference_pt(cls, path: str, batch_size: int, **kw) -> "NMTDataset":
+        """Migrate a reference `nmt.train.pt` artifact (torch-pickled dict
+        with ragged 'train'/'valid' src/tgt id lists, prepro_aic_nmt.py
+        output). Requires torch; pads to max length with PAD=0."""
+        import torch
+
+        blob = torch.load(path, map_location="cpu")
+        split = blob.get("train", blob)
+        srcs = [np.asarray(s).reshape(-1) for s in split["src"]]
+        tgts = [np.asarray(t).reshape(-1) for t in split["tgt"]]
+        ms = max(len(s) for s in srcs)
+        mt = max(len(t) for t in tgts)
+        src = np.zeros((len(srcs), ms), np.int32)
+        tgt = np.zeros((len(tgts), mt), np.int32)
+        for i, (s, t) in enumerate(zip(srcs, tgts)):
+            src[i, :len(s)] = s
+            tgt[i, :len(t)] = t
+        return cls(src, tgt, batch_size, **kw)
+
     def __len__(self) -> int:
         return (len(self.src) + self.batch_size - 1) // self.batch_size
 

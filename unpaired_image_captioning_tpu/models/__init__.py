@@ -21,7 +21,7 @@ from .att import (
 )
 from .transformer import TransformerModel
 from .stackcap import StackCapModel
-from .show_tell import ShowTellModel
+from .show_tell import AllImgModel, ShowTellModel
 
 _REGISTRY = {
     # reference factory wiring (models/__init__.py:22-57): 'fc' -> FCModel_NMT;
@@ -40,6 +40,7 @@ _REGISTRY = {
     # present-but-unwired in the reference factory; wired here for completeness
     "show_tell": ShowTellModel,
     "show_attend_tell": ShowAttendTellModel,
+    "all_img": AllImgModel,
 }
 
 

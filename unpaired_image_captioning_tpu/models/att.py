@@ -54,9 +54,18 @@ def attention_apply(p, h, att_emb, p_att, att_masks):
 
     h: [B, H]; att_emb: [B, N, D]; p_att: [B, N, A]; att_masks: [B, N] or None.
     Softmax over N, then multiplicative mask + renormalize (NOT -inf mask).
+    On TPU this runs as one fused Pallas pass (ops/attention.py) — the
+    [B, N, A] tanh intermediate never touches HBM.
     """
-    att_h = linear(p["h2att"], h)[:, None, :]                       # [B,1,A]
-    dot = jnp.tanh(p_att + att_h)                                   # [B,N,A]
+    att_h = linear(p["h2att"], h)                                   # [B,A]
+    if jax.default_backend() == "tpu":
+        from ..ops.attention import fused_additive_attention
+
+        mask = (att_masks if att_masks is not None
+                else jnp.ones(p_att.shape[:2], jnp.float32))
+        return fused_additive_attention(p_att, att_h, p["alpha_net"]["w"],
+                                        mask, att_emb)
+    dot = jnp.tanh(p_att + att_h[:, None, :])                       # [B,N,A]
     scores = linear(p["alpha_net"], dot)[..., 0]                    # [B,N]
     weight = masked_softmax(scores.astype(jnp.float32), att_masks)  # [B,N]
     return jnp.einsum("bn,bnd->bd", weight.astype(att_emb.dtype), att_emb)

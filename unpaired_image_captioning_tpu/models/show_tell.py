@@ -54,3 +54,46 @@ class ShowTellModel(CaptionDecoder):
         out, state = self._core(params, xt, state, training=training, rng=rng)
         logits = linear(params["logit"], out)
         return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), state
+
+
+@dataclasses.dataclass(frozen=True)
+class AllImgModel(CaptionDecoder):
+    """all_img: the raw fc feature concatenated to EVERY step's word input.
+
+    Parity: reference `models/OldModel.py` AllImgCore (:234-249) +
+    AllImgModel (:256) — nn.LSTM over [word_emb; fc_feats], image-derived
+    initial hidden (`init_hidden` via `linear`, OldModel.py:48-53).
+    """
+
+    def init_params(self, rng) -> dict:
+        ks = jax.random.split(rng, 4)
+        return {
+            "img_linear": linear_init(ks[0], self.fc_feat_size,
+                                      self.num_layers * self.rnn_size),
+            "embed": embedding_init(ks[1], self.vocab_size + 1,
+                                    self.input_encoding_size),
+            "core": rnn.init_stacked_lstm(
+                ks[2], self.num_layers,
+                self.input_encoding_size + self.fc_feat_size, self.rnn_size),
+            "logit": linear_init(ks[3], self.rnn_size, self.vocab_size + 1,
+                                 scale=0.1),
+        }
+
+    def make_decoder(self, params, feats: Features, *, training: bool = False,
+                     rng: Optional[jax.Array] = None) -> Tuple[Any, Any]:
+        img = linear(params["img_linear"], feats.fc_feats)
+        img = img.reshape(feats.fc_feats.shape[0], self.num_layers,
+                          self.rnn_size)
+        return {"fc": feats.fc_feats}, (img, img)
+
+    def step(self, params, ctx, state, it, *, training: bool = False,
+             rng: Optional[jax.Array] = None):
+        xt = jnp.concatenate([params["embed"][it], ctx["fc"]], axis=-1)
+        h, c = state
+        top, hs, cs = rnn.stacked_lstm_step(
+            params["core"], xt, jnp.moveaxis(h, 1, 0), jnp.moveaxis(c, 1, 0),
+            dropout_rng=rng if training else None, dropout=self.drop_prob_lm)
+        out = dropout(rng, top, self.drop_prob_lm, training)
+        logits = linear(params["logit"], out)
+        state = (jnp.moveaxis(hs, 0, 1), jnp.moveaxis(cs, 0, 1))
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), state

@@ -1,0 +1,76 @@
+"""Fused additive attention kernel.
+
+The reference's Attention (AttModel.py:529-558) computes
+`alpha_net(tanh(p_att + h2att(h)))` → softmax → masked renormalize →
+weighted sum. Under XLA the `[B, N, A]` tanh intermediate round-trips HBM
+every decode step — profiling on v5e shows this dominating beam decode
+(~0.65 ms per application at B*K=150, N=196, A=512, ~17x the bandwidth
+minimum). This kernel fuses score computation, masked softmax, and the
+weighted sum into one VMEM pass: `p_att` and `att_emb` are each read once.
+
+Semantics notes: the alpha_net bias is dropped (softmax is shift-invariant)
+and the mask uses the reference's multiply-then-renormalize form.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fused_attention_kernel(p_att_ref, att_h_ref, alpha_ref, mask_ref,
+                            emb_ref, out_ref):
+    p_att = p_att_ref[:].astype(jnp.float32)        # [BB, N, A]
+    att_h = att_h_ref[:].astype(jnp.float32)        # [BB, A]
+    dot = jnp.tanh(p_att + att_h[:, None, :])
+    scores = jax.lax.dot_general(
+        dot, alpha_ref[:].astype(jnp.float32),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)[..., 0]  # [BB, N]
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    w = jnp.exp(scores) * mask_ref[:].astype(jnp.float32)
+    w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-9)
+    emb = emb_ref[:].astype(jnp.float32)             # [BB, N, D]
+    out = jax.lax.dot_general(
+        w[:, None, :], emb,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)[:, 0, :]
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def fused_additive_attention(p_att, att_h, alpha, mask, att_emb, *,
+                             block_b: int = 8, interpret: bool = False):
+    """p_att: [B, N, A]; att_h: [B, A]; alpha: [A, 1] (alpha_net weight);
+    mask: [B, N] (1s if None upstream); att_emb: [B, N, D] -> [B, D]."""
+    b, n, a = p_att.shape
+    d = att_emb.shape[-1]
+    grid = (pl.cdiv(b, block_b),)
+    return pl.pallas_call(
+        _fused_attention_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, n, a), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, a), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((a, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, d), att_emb.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * (a + d),
+            bytes_accessed=(b * n * (a + d) + b * (a + d)) * 2,
+            transcendentals=b * n * a,
+        ),
+    )(p_att, att_h, alpha, mask, att_emb)

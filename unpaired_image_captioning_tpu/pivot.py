@@ -57,6 +57,32 @@ def build_caption_to_nmt_map(cap_vocab: CaptionVocab, nmt_src_dict: Dict
     return table
 
 
+def captions_to_nmt_batch(cap_seqs: jax.Array, cap2nmt: jax.Array,
+                          *, add_bos_eos: bool = False):
+    """Map decoded caption ids to an NMT batch (src, lengths).
+
+    Parity: `Trainer.zh_en_mapping` (reference trainer.py:109-139) — the
+    train-time bridge that batches captioner-produced zh token sequences for
+    the NMT model. Host-free: one gather through the dense id map.
+
+    cap_seqs: [B, T] caption ids (0-terminated); cap2nmt: [cap_vocab+1] id
+    map (build_caption_to_nmt_map). When add_bos_eos, wraps with BOS/EOS for
+    use as an NMT *target* (pseudo-pair training).
+    """
+    src = jnp.take(cap2nmt, cap_seqs, axis=0)
+    lengths = jnp.maximum(jnp.sum(cap_seqs > 0, axis=-1), 1).astype(jnp.int32)
+    if not add_bos_eos:
+        return src, lengths
+    b, t = src.shape
+    out = jnp.zeros((b, t + 2), src.dtype)
+    out = out.at[:, 0].set(C.BOS)
+    out = out.at[:, 1:-1].set(src)
+    pos = jnp.arange(t + 2)[None, :]
+    out = jnp.where(pos == (lengths + 1)[:, None], C.EOS, out)
+    out = jnp.where(pos > (lengths + 1)[:, None], C.PAD, out)
+    return out, lengths + 2
+
+
 def pivot_translate(cap_model, cap_params, nmt_model, nmt_params, feats,
                     cap2nmt: jax.Array, *, cap_beam: int = 5,
                     nmt_beam: int = 15, nmt_max_len: int = 100):
