@@ -59,15 +59,19 @@ def main():
     seq, scores = decode(params, feats)  # compile + warmup
     _ = np.asarray(seq)
 
-    iters = 10
-    t0 = time.perf_counter()
+    iters = 20
+    times = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         seq, scores = decode(params, feats)
         # materialize on host: D2H forces completion even through remote
         # execution tunnels where block_until_ready can return early
         _ = np.asarray(scores)
-    dt = time.perf_counter() - t0
-    caps_per_sec = b * iters / dt
+        times.append(time.perf_counter() - t0)
+    # median per-call time: the remote-execution tunnel adds heavy-tailed
+    # host-side jitter that is not device throughput
+    dt = sorted(times)[len(times) // 2]
+    caps_per_sec = b / dt
 
     print(json.dumps({
         "metric": "captions_per_sec_per_chip_beam3_denseatt",

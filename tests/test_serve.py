@@ -1,0 +1,84 @@
+"""Serving runtime tests: micro-batching + HTTP front end."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+
+from unpaired_image_captioning_tpu import models
+from unpaired_image_captioning_tpu.config import Config
+from unpaired_image_captioning_tpu.serve import (CaptionService,
+                                                 MicroBatcher,
+                                                 make_http_server)
+
+V = 20
+
+
+def make_service(greedy=True):
+    cfg = Config(caption_model="topdown", vocab_size=V, rnn_size=16,
+                 num_layers=1, input_encoding_size=12, att_hid_size=8,
+                 fc_feat_size=10, att_feat_size=8, seq_length=5,
+                 drop_prob_lm=0.0)
+    model = models.setup(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    vocab = {str(i + 1): f"w{i}" for i in range(V)}
+    return CaptionService(model, params, vocab, beam_size=2, max_batch=4,
+                          max_wait_ms=10, greedy=greedy)
+
+
+def test_microbatcher_aggregates():
+    calls = []
+
+    def decode(stacked):
+        calls.append(stacked["x"].shape[0])
+        return [str(v[0]) for v in stacked["x"]]
+
+    mb = MicroBatcher(decode, max_batch=4, max_wait_ms=50)
+    futs = [mb.submit({"x": np.asarray([i])}) for i in range(4)]
+    assert [f.result(5) for f in futs] == ["0", "1", "2", "3"]
+    assert calls and calls[0] == 4  # one padded batch, not 4 singles
+    mb.close()
+
+
+def test_caption_service_and_http():
+    svc = make_service()
+    rng = np.random.RandomState(0)
+    fc = rng.randn(10).astype(np.float32)
+    att = rng.randn(6, 8).astype(np.float32)
+    cap = svc.caption(fc, att)
+    assert isinstance(cap, str)
+
+    # concurrent requests batch together and all complete
+    results = []
+    def worker():
+        results.append(svc.caption(rng.randn(10), rng.randn(6, 8)))
+    threads = [threading.Thread(target=worker) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(30)
+    assert len(results) == 6
+
+    server = make_http_server(svc, port=18731)
+    st = threading.Thread(target=server.serve_forever, daemon=True)
+    st.start()
+    try:
+        req = urllib.request.Request(
+            "http://127.0.0.1:18731/caption",
+            data=json.dumps({"fc": fc.tolist(), "att": att.tolist()}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            out = json.loads(r.read())
+        assert out["caption"] == cap
+        with urllib.request.urlopen("http://127.0.0.1:18731/stats",
+                                    timeout=10) as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] >= 7
+        with urllib.request.urlopen("http://127.0.0.1:18731/healthz",
+                                    timeout=10) as r:
+            assert json.loads(r.read())["ok"]
+    finally:
+        server.shutdown()
+        svc.close()

@@ -69,6 +69,9 @@ def main(argv=None):
     if cfg.nmt_train_flag and cfg.input_nmt_h5:
         nmt_dataset = NMTDataset.from_h5(cfg.input_nmt_h5, cfg.batch_size,
                                          shuffle=True, seed=cfg.seed)
+        valid_path = cfg.input_nmt_h5.replace("train", "valid")
+        if valid_path != cfg.input_nmt_h5 and os.path.exists(valid_path):
+            nmt_valid = NMTDataset.from_h5(valid_path, cfg.batch_size)
         if cfg.input_nmt_dict:
             import json as _json
 
@@ -130,9 +133,16 @@ def main(argv=None):
                   f"read={read_t:.3f}s step={step_t:.3f}s")
 
         if it % cfg.save_checkpoint_every == 0:
-            val = evaluate(trainer, loader, cfg)
-            histories["val_result_history"][str(it)] = val
+            val = evaluate(trainer, loader, cfg, nmt_valid=nmt_valid)
+            histories["val_result_history"][str(it)] = {
+                k: v for k, v in val.items() if k != "predictions"}
             logger.add_scalars(it, {"val_loss": val["loss"]})
+            if val.get("nmt_stats"):
+                logger.add_scalars(it, val["nmt_stats"])
+                # best-NMT-acc dual track (trainer.py:212-215)
+                acc = val["nmt_stats"]["valid_acc"]
+                if trainer.best_nmt_acc is None or acc > trainer.best_nmt_acc:
+                    trainer.best_nmt_acc = acc
             score = (val.get("lang_stats") or {}).get("CIDEr", -val["loss"])
             best = trainer.best_cider is None or score > trainer.best_cider
             if best:
@@ -156,7 +166,7 @@ def main(argv=None):
             break
 
 
-def evaluate(trainer, loader, cfg) -> dict:
+def evaluate(trainer, loader, cfg, nmt_valid=None) -> dict:
     from ..eval.eval_utils import eval_split
 
     refs = None
@@ -171,7 +181,8 @@ def evaluate(trainer, loader, cfg) -> dict:
     return eval_split(trainer.i2t_model, trainer.i2t_params, loader,
                       split="val", num_images=cfg.val_images_use,
                       beam_size=cfg.beam_size, language_eval_refs=refs,
-                      model_id=cfg.id)
+                      model_id=cfg.id, nmt_model=trainer.nmt_model,
+                      nmt_params=trainer.nmt_params, nmt_valid=nmt_valid)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,178 @@
+"""Serving runtime: micro-batching caption/translation service.
+
+The reference has no serving story (research scripts only); this module
+provides the production path the rebuild targets: a request queue that
+aggregates single-image requests into fixed-shape device batches (static
+shapes = one compiled program, no recompiles), runs the compiled beam
+decode, and fans results back out. Ships with a stdlib HTTP front end
+(zero-egress environment: no external web framework).
+
+Design:
+- fixed `max_batch` padded batches — partial batches pad with the first
+  row; static shapes keep one XLA executable warm;
+- `max_wait_ms` batching window: latency/throughput knob;
+- decode runs on a dedicated thread (single TPU stream), requests are
+  futures.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, List, Optional
+
+import numpy as np
+
+
+class MicroBatcher:
+    def __init__(self, decode_batch: Callable[[dict], List[str]],
+                 *, max_batch: int = 32, max_wait_ms: float = 5.0):
+        self.decode_batch = decode_batch
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self.q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self.stats = {"requests": 0, "batches": 0, "batch_fill": 0.0}
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.thread.start()
+
+    def submit(self, example: dict) -> Future:
+        fut: Future = Future()
+        self.q.put((example, fut))
+        return fut
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self.q.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.perf_counter() + self.max_wait
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self.q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            examples = [b[0] for b in batch]
+            futs = [b[1] for b in batch]
+            n = len(examples)
+            # pad to the fixed batch with copies of row 0 (static shapes)
+            while len(examples) < self.max_batch:
+                examples.append(examples[0])
+            stacked = {k: np.stack([e[k] for e in examples])
+                       for k in examples[0]}
+            try:
+                outs = self.decode_batch(stacked)
+                for f, o in zip(futs, outs[:n]):
+                    f.set_result(o)
+            except Exception as e:  # propagate to all waiters
+                for f in futs:
+                    f.set_exception(e)
+            self.stats["requests"] += n
+            self.stats["batches"] += 1
+            self.stats["batch_fill"] = (
+                self.stats["requests"] / (self.stats["batches"] * self.max_batch))
+
+    def close(self):
+        self._stop.set()
+        self.thread.join(timeout=2)
+
+
+class CaptionService:
+    """Feature-in, caption-out service around a compiled beam decode."""
+
+    def __init__(self, model, params, vocab_ix_to_word: dict, *,
+                 beam_size: int = 3, max_batch: int = 32,
+                 max_wait_ms: float = 5.0, greedy: bool = False):
+        import jax
+        import jax.numpy as jnp
+
+        from .models.base import Features
+        from .utils.text import decode_sequence
+
+        self.model = model
+        self.params = params
+        self.vocab = vocab_ix_to_word
+
+        if greedy or beam_size == 1:
+            @jax.jit
+            def decode(params, fc, att, masks):
+                feats = Features(fc_feats=fc, att_feats=att, att_masks=masks)
+                return model.sample(params, feats, jax.random.PRNGKey(0))[0]
+        else:
+            @jax.jit
+            def decode(params, fc, att, masks):
+                feats = Features(fc_feats=fc, att_feats=att, att_masks=masks)
+                return model.sample_beam(params, feats,
+                                         beam_size=beam_size).seq[:, 0]
+
+        def decode_batch(stacked: dict) -> List[str]:
+            seq = decode(self.params,
+                         jnp.asarray(stacked["fc"], jnp.float32),
+                         jnp.asarray(stacked["att"], jnp.float32),
+                         jnp.asarray(stacked["masks"], jnp.float32))
+            return decode_sequence(self.vocab, np.asarray(seq))
+
+        self.batcher = MicroBatcher(decode_batch, max_batch=max_batch,
+                                    max_wait_ms=max_wait_ms)
+
+    def caption(self, fc: np.ndarray, att: np.ndarray,
+                masks: Optional[np.ndarray] = None, timeout: float = 30.0) -> str:
+        if masks is None:
+            masks = np.ones(att.shape[:1], np.float32)
+        fut = self.batcher.submit({"fc": np.asarray(fc, np.float32),
+                                   "att": np.asarray(att, np.float32),
+                                   "masks": np.asarray(masks, np.float32)})
+        return fut.result(timeout=timeout)
+
+    def close(self):
+        self.batcher.close()
+
+
+def make_http_server(service: CaptionService, port: int = 8000
+                     ) -> ThreadingHTTPServer:
+    """POST /caption {"fc": [...], "att": [[...]]} -> {"caption": str};
+    GET /stats -> batcher stats."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _send(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/stats":
+                self._send(200, service.batcher.stats)
+            elif self.path == "/healthz":
+                self._send(200, {"ok": True})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/caption":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                cap = service.caption(np.asarray(req["fc"], np.float32),
+                                      np.asarray(req["att"], np.float32))
+                self._send(200, {"caption": cap})
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
