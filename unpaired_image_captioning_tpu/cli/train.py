@@ -111,7 +111,24 @@ def main(argv=None):
         data = loader.get_batch("train")
         read_t = time.time() - t0
         t0 = time.time()
-        metrics = trainer.train(data, sc_flag=sc_flag)
+        try:
+            metrics = trainer.train(data, sc_flag=sc_flag)
+        except Exception as e:
+            # emergency checkpoint so the run is resumable after a crash
+            # (SURVEY.md §5.3: the reference's only recovery is --start_from)
+            trainer.ckpt.save(infos={"iter": trainer.iteration,
+                                     "epoch": trainer.epoch,
+                                     "epoch_nmt": trainer.epoch_nmt,
+                                     "best_cider": trainer.best_cider,
+                                     "best_nmt_acc": trainer.best_nmt_acc,
+                                     "opt": cfg.to_dict(),
+                                     "loader_state": loader.state_dict(),
+                                     "crash": repr(e)},
+                              i2t_params=trainer.i2t_params,
+                              nmt_params=trainer.nmt_params)
+            print(f"FATAL at iter {trainer.iteration}: {e!r} — emergency "
+                  f"checkpoint written to {cfg.checkpoint_path}")
+            raise
         step_t = time.time() - t0
 
         if data["bounds"]["wrapped"]:

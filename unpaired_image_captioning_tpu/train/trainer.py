@@ -75,6 +75,11 @@ class Trainer:
         self.epoch_nmt = 0
         self.best_cider = None
         self.best_nmt_acc = None
+        # failure detection (SURVEY.md §5.3: the reference has none — its
+        # only recovery is manual restart): count consecutive non-finite
+        # losses; callers abort + emergency-checkpoint past the threshold
+        self.nan_steps = 0
+        self.max_nan_steps = 3
 
     # ------------------------------------------------------------------ steps
     def _feats(self, batch: Dict[str, Any]) -> Features:
@@ -220,6 +225,16 @@ class Trainer:
         out["lr_i2t"] = float(lr_i2t)
         out["lr_nmt"] = float(lr_nmt)
         out["ss_prob"] = float(ss_prob)
+        import math
+
+        if not math.isfinite(out.get("total_loss", 0.0)):
+            self.nan_steps += 1
+            if self.nan_steps >= self.max_nan_steps:
+                raise FloatingPointError(
+                    f"non-finite loss for {self.nan_steps} consecutive steps "
+                    f"at iter {self.iteration}: {out}")
+        else:
+            self.nan_steps = 0
         return out
 
     # ------------------------------------------------------------- profiling
