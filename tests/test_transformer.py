@@ -1,0 +1,48 @@
+"""Transformer decode-path self-check.
+
+Parity: the reference transformer asserts its incremental decode equals the
+parallel decode (TransformerModel.py:521-523). Here: teacher-forcing the
+greedy-decoded sequence through the parallel path must yield the same
+argmax at every step the KV-cache incremental path chose."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unpaired_image_captioning_tpu import models
+from unpaired_image_captioning_tpu.config import Config
+from unpaired_image_captioning_tpu.models.base import Features
+
+V, T, B, N = 21, 7, 3, 5
+
+
+def test_incremental_matches_parallel(rng):
+    cfg = Config(caption_model="transformer", vocab_size=V, rnn_size=32,
+                 num_layers=2, input_encoding_size=16, att_hid_size=16,
+                 fc_feat_size=10, att_feat_size=12, seq_length=T,
+                 drop_prob_lm=0.0, num_heads=4)
+    model = models.setup(cfg)
+    params = model.init_params(rng)
+    ks = jax.random.split(rng, 3)
+    feats = Features(
+        fc_feats=jax.random.normal(ks[0], (B, 10)),
+        att_feats=jax.random.normal(ks[1], (B, N, 12)),
+        att_masks=jnp.ones((B, N)).at[0, 3:].set(0.0))
+
+    # incremental greedy decode (fixed KV cache)
+    seq, _ = model.sample(params, feats, ks[2])
+    seq = np.asarray(seq)
+
+    # parallel teacher forcing on [BOS; seq]
+    full = np.zeros((B, T + 1), np.int32)
+    full[:, 1:] = seq
+    lp = model.forward(params, feats, jnp.asarray(full), training=False)
+    par_argmax = np.asarray(jnp.argmax(lp, -1))  # slot j predicts full[:, j+1]
+
+    for b in range(B):
+        for t in range(T):
+            np.testing.assert_equal(
+                par_argmax[b, t], seq[b, t],
+                err_msg=f"b={b} t={t}")
+            if seq[b, t] == 0:
+                break

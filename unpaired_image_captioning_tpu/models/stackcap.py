@@ -129,3 +129,38 @@ class StackCapModel(AttModel):
         (_, _), out = jax.lax.scan(body, (state0, init_lp),
                                    (seq[:, :-1].T, step_rngs))
         return [jnp.transpose(o, (1, 0, 2)) for o in out]
+
+
+# ---------------------------------------------------------------------------
+# auxiliary modules shipped alongside StackCap in the reference
+# ---------------------------------------------------------------------------
+
+def bilinear_d3_init(rng, x_dim: int, y_dim: int) -> dict:
+    """Parity: StackCapModel.py BilinearD3 (:300-330) — bilinear scoring
+    `score[b, o] = x[b] @ W @ y[b, o]` over a 3-D candidate tensor."""
+    scale = 1.0 / jnp.sqrt(x_dim)
+    return {"w": jax.random.uniform(rng, (x_dim, y_dim), minval=-scale,
+                                    maxval=scale)}
+
+
+def bilinear_d3_apply(p, x, y):
+    """x: [B, Dx]; y: [B, O, Dy] -> scores [B, O]."""
+    xw = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)  # [B, Dy]
+    return jnp.einsum("bd,bod->bo", xw, y.astype(xw.dtype))
+
+
+def sentence_attention_init(rng, rnn_size: int, att_hid: int) -> dict:
+    """Parity: StackCapModel.py sentence-attention module (:332-380) —
+    additive attention over previously generated hidden states."""
+    from .att import attention_init
+
+    return attention_init(rng, rnn_size, att_hid)
+
+
+def sentence_attention_apply(p, h, hist, hist_mask):
+    """h: [B, H] query; hist: [B, T, H] past hiddens; hist_mask: [B, T]."""
+    from .att import attention_apply
+    from .base import linear
+
+    p_hist = linear(p["h2att"], hist)  # project history like ctx2att
+    return attention_apply(p, h, hist, p_hist, hist_mask)

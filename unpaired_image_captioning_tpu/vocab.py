@@ -250,3 +250,14 @@ class CaptionVocab:
         with open(path, "r", encoding="utf-8") as f:
             info = json.load(f)
         return cls(info["ix_to_word"])
+
+    @classmethod
+    def from_wtoi_pickle(cls, path: str) -> "CaptionVocab":
+        """Migrate the reference's `wtoi_zh.txt` artifact — a Python-2
+        text-protocol pickle of {word: index} (50k zh entries). Protocol-0
+        text pickles load cleanly under py3."""
+        import pickle
+
+        with open(path, "rb") as f:
+            wtoi = pickle.load(f)
+        return cls({str(int(ix)): w for w, ix in wtoi.items()})
