@@ -133,3 +133,60 @@ def test_metric_logger(tmp_path):
 
     lines = [json.loads(l) for l in open(tmp_path / "events.jsonl")]
     assert lines[0]["loss"] == 2.0 and lines[1]["step"] == 2
+
+
+def test_vis_words(tmp_path):
+    from unpaired_image_captioning_tpu.utils.vis_words import vis_words
+
+    a = ["a cat on a mat", "a dog runs", "a cat sleeps"]
+    b = ["the cat is here", "the bird flies"]
+    p = vis_words(a, b, str(tmp_path / "vw.html"), label_a="gen",
+                  label_b="refs")
+    content = open(p).read()
+    assert "<svg" in content and "cat" in content and "gen" in content
+
+
+def test_bn_calibration(tmp_path):
+    from unpaired_image_captioning_tpu import models
+    from unpaired_image_captioning_tpu.config import Config
+    from unpaired_image_captioning_tpu.data.dataloader import CaptionDataLoader
+    from unpaired_image_captioning_tpu.data.synthetic import make_caption_artifacts
+    from unpaired_image_captioning_tpu.models.att import calibrate_batch_norm
+    from unpaired_image_captioning_tpu.models.base import Features
+
+    jp, h5p, mem = make_caption_artifacts(str(tmp_path), vocab_size=20)
+    loader = CaptionDataLoader(input_json=jp, input_label_h5=h5p,
+                               batch_size=4, seq_per_img=1, att_feat_size=24,
+                               attri_feat_size=16, in_memory=mem)
+    cfg = Config(caption_model="topdown", vocab_size=20, rnn_size=16,
+                 num_layers=1, input_encoding_size=12, att_hid_size=8,
+                 fc_feat_size=32, att_feat_size=24, seq_length=6,
+                 drop_prob_lm=0.0, use_bn=2)
+    model = models.setup(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    params = calibrate_batch_norm(params, loader, n_batches=4)
+    assert float(jnp.abs(params["bn0"]["mean"]).sum()) > 0
+
+    # eval output for one example must not depend on batch composition
+    data = loader.get_batch("val")
+    f_all = Features(fc_feats=jnp.asarray(data["fc_feats"]),
+                     att_feats=jnp.asarray(data["att_feats"]),
+                     att_masks=jnp.asarray(data["att_masks"]))
+    f_one = Features(fc_feats=jnp.asarray(data["fc_feats"][:1]),
+                     att_feats=jnp.asarray(data["att_feats"][:1]),
+                     att_masks=jnp.asarray(data["att_masks"][:1]))
+    seq_all, _ = model.sample(params, f_all, jax.random.PRNGKey(1))
+    seq_one, _ = model.sample(params, f_one, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(seq_all)[0], np.asarray(seq_one)[0])
+
+    # multi-host sharding: stripes are disjoint and cover the train split
+    l0 = CaptionDataLoader(input_json=jp, input_label_h5=h5p, batch_size=2,
+                           seq_per_img=1, att_feat_size=24, attri_feat_size=16,
+                           in_memory=mem, host_id=0, num_hosts=2)
+    l1 = CaptionDataLoader(input_json=jp, input_label_h5=h5p, batch_size=2,
+                           seq_per_img=1, att_feat_size=24, attri_feat_size=16,
+                           in_memory=mem, host_id=1, num_hosts=2)
+    s0, s1 = set(l0.split_ix["train"]), set(l1.split_ix["train"])
+    assert not (s0 & s1)
+    assert s0 | s1 == set(loader.split_ix["train"])
+    assert l0.split_ix["val"] == loader.split_ix["val"]

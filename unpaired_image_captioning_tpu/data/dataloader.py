@@ -46,7 +46,8 @@ class CaptionDataLoader:
                  max_att_len: int = 196, max_gts: int = 5,
                  input_fc_h5: str = "", input_att_h5: str = "",
                  nmt_dataset: Optional[NMTDataset] = None,
-                 in_memory: Optional[dict] = None, seed: int = 123):
+                 in_memory: Optional[dict] = None, seed: int = 123,
+                 host_id: int = 0, num_hosts: int = 1):
         import h5py
 
         self.batch_size = batch_size
@@ -83,12 +84,19 @@ class CaptionDataLoader:
         h5.close()
         self.seq_length = self.labels.shape[1]
 
+        # multi-host input sharding: each host owns a disjoint stripe of the
+        # training split (SURVEY.md §2.10 / §7.2: per-host input sharding
+        # over DCN — eval splits stay global so every host can score)
+        self.host_id = host_id
+        self.num_hosts = num_hosts
         self.split_ix: Dict[str, List[int]] = {"train": [], "val": [], "test": []}
         for ix, img in enumerate(self.images):
             split = img.get("split", "train")
             if split == "restval":
                 split = "train"
             if split in self.split_ix:
+                if split == "train" and num_hosts > 1 and ix % num_hosts != host_id:
+                    continue
                 self.split_ix[split].append(ix)
         self.iterators = {k: 0 for k in self.split_ix}
         self._perm = {k: np.asarray(v, np.int64) for k, v in self.split_ix.items()}

@@ -79,13 +79,48 @@ def _mlp_embed(p, x, rate, training, rng):
     return dropout(rng, jax.nn.relu(linear(p, x)), rate, training)
 
 
-def _batch_norm(p, x):
-    """Training-mode BatchNorm over the flattened leading dims."""
-    flat = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
-    mean = jnp.mean(flat, axis=0)
-    var = jnp.var(flat, axis=0)
+def _batch_norm(p, x, training: bool = True):
+    """BatchNorm: batch statistics in training; stored statistics in eval
+    (torch running-stat semantics — populate them with
+    `calibrate_batch_norm` after training; fresh params hold the identity
+    stats mean=0/var=1)."""
+    if training:
+        flat = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+        mean = jnp.mean(flat, axis=0)
+        var = jnp.var(flat, axis=0)
+    else:
+        mean = p["mean"]
+        var = p["var"]
     norm = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + 1e-5)
     return (norm * p["scale"] + p["offset"]).astype(x.dtype)
+
+
+def calibrate_batch_norm(params, loader, *, split: str = "train",
+                         n_batches: int = 16):
+    """Fill the use_bn running statistics from data (BN calibration): the
+    functional replacement for torch's momentum-tracked running stats.
+    Returns params with bn0/bn1 mean+var set from `n_batches` batches."""
+    import numpy as np
+
+    if "bn0" not in params:
+        return params
+    feats0 = []
+    for _ in range(n_batches):
+        data = loader.get_batch(split)
+        att = np.asarray(data["att_feats"], np.float32)
+        masks = np.asarray(data["att_masks"]) > 0
+        feats0.append(att[masks])
+    flat = np.concatenate(feats0, axis=0)
+    params = dict(params)
+    params["bn0"] = dict(params["bn0"], mean=jnp.asarray(flat.mean(0)),
+                         var=jnp.asarray(flat.var(0)))
+    if "bn1" in params:
+        # project calibration rows through bn0 + att_embed to get bn1 inputs
+        x = _batch_norm(params["bn0"], jnp.asarray(flat), training=False)
+        h = jax.nn.relu(linear(params["att_embed"], x)).astype(jnp.float32)
+        params["bn1"] = dict(params["bn1"], mean=jnp.mean(h, 0),
+                             var=jnp.var(h, 0))
+    return params
 
 
 def _rngs(rng, n):
@@ -136,10 +171,14 @@ class AttModel(CaptionDecoder):
             p["att_embed"] = _mlp_embed_init(ks[4], self.att_feat_size, self.rnn_size)
             if self.use_bn:
                 p["bn0"] = {"scale": jnp.ones((self.att_feat_size,)),
-                            "offset": jnp.zeros((self.att_feat_size,))}
+                            "offset": jnp.zeros((self.att_feat_size,)),
+                            "mean": jnp.zeros((self.att_feat_size,)),
+                            "var": jnp.ones((self.att_feat_size,))}
             if self.use_bn == 2:
                 p["bn1"] = {"scale": jnp.ones((self.rnn_size,)),
-                            "offset": jnp.zeros((self.rnn_size,))}
+                            "offset": jnp.zeros((self.rnn_size,)),
+                            "mean": jnp.zeros((self.rnn_size,)),
+                            "var": jnp.ones((self.rnn_size,))}
         ctx_in = self.att_feat_size if self.att_identity else self.rnn_size
         p["ctx2att"] = linear_init(ks[5], ctx_in, self.att_hid_size)
         return p
@@ -175,11 +214,11 @@ class AttModel(CaptionDecoder):
             att_emb = att
         else:
             if self.use_bn:
-                att = _batch_norm(params["bn0"], att)
+                att = _batch_norm(params["bn0"], att, training)
             att_emb = _mlp_embed(params["att_embed"], att,
                                  self.drop_prob_lm, training, r[1])
             if self.use_bn == 2:
-                att_emb = _batch_norm(params["bn1"], att_emb)
+                att_emb = _batch_norm(params["bn1"], att_emb, training)
         p_att = linear(params["ctx2att"], att_emb)
         ctx = {"fc": fc_emb, "att": att_emb, "p_att": p_att,
                "masks": feats.att_masks}
