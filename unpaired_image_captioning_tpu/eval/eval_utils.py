@@ -48,7 +48,8 @@ def language_eval(dataset_type: str, preds: List[dict], model_id: str,
         return {"error": 1}
 
     overall: Dict[str, float] = {}
-    img_to_eval: Dict[Any, dict] = {i: {} for i in gts}
+    # imgToEval entries carry their image_id (reference artifact schema)
+    img_to_eval: Dict[Any, dict] = {i: {"image_id": i} for i in gts}
 
     bleu_scores, bleu_per = Bleu(4).compute_score(gts, res)
     for k in range(4):
