@@ -48,3 +48,23 @@ def test_fused_attention_partial_block(rng):
     w = masked_softmax(scores, mask)
     ref = jnp.einsum("bn,bnd->bd", w, emb)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_attention_beams_matches_reference(rng):
+    from unpaired_image_captioning_tpu.ops.attention import (
+        fused_additive_attention_beams)
+
+    b, k, n, a, d = 4, 3, 10, 16, 12
+    ks = jax.random.split(rng, 4)
+    p_att = jax.random.normal(ks[0], (b, n, a))
+    att_h = jax.random.normal(ks[1], (b, k, a))
+    alpha = jax.random.normal(ks[2], (a, 1))
+    emb = jax.random.normal(ks[3], (b, n, d))
+    mask = jnp.ones((b, n)).at[0, 6:].set(0.0)
+    out = fused_additive_attention_beams(p_att, att_h, alpha, mask, emb,
+                                         interpret=True)
+    dot = jnp.tanh(p_att[:, None] + att_h[:, :, None, :])
+    scores = jnp.einsum("bkna,ao->bkno", dot, alpha)[..., 0]
+    w = masked_softmax(scores, mask[:, None, :])
+    ref = jnp.einsum("bkn,bnd->bkd", w, emb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

@@ -52,12 +52,33 @@ def attention_init(rng, rnn_size: int, att_hid_size: int) -> dict:
 def attention_apply(p, h, att_emb, p_att, att_masks):
     """Additive attention (parity: AttModel.py:529-558).
 
-    h: [B, H]; att_emb: [B, N, D]; p_att: [B, N, A]; att_masks: [B, N] or None.
-    Softmax over N, then multiplicative mask + renormalize (NOT -inf mask).
-    On TPU this runs as one fused Pallas pass (ops/attention.py) — the
-    [B, N, A] tanh intermediate never touches HBM.
+    h: [B*K, H] queries; att_emb: [B, N, D]; p_att: [B, N, A]; att_masks:
+    [B, N] or None. When K > 1 (beam search with unexpanded memory —
+    ops/beam_search ctx_no_expand) the memory is read once per image and
+    broadcast over the K beams. Softmax over N, then multiplicative mask +
+    renormalize (NOT -inf mask). On TPU the K==1 case runs as one fused
+    Pallas pass (ops/attention.py).
     """
-    att_h = linear(p["h2att"], h)                                   # [B,A]
+    att_h = linear(p["h2att"], h)                                   # [BK,A]
+    bq = h.shape[0]
+    bm = p_att.shape[0]
+    if bq != bm:
+        k = bq // bm
+        att_hk = att_h.reshape(bm, k, -1)
+        if jax.default_backend() == "tpu":
+            from ..ops.attention import fused_additive_attention_beams
+
+            mask = (att_masks if att_masks is not None
+                    else jnp.ones(p_att.shape[:2], jnp.float32))
+            out = fused_additive_attention_beams(
+                p_att, att_hk, p["alpha_net"]["w"], mask, att_emb)
+            return out.reshape(bq, -1)
+        dot = jnp.tanh(p_att[:, None, :, :] + att_hk[:, :, None, :])  # [B,K,N,A]
+        scores = linear(p["alpha_net"], dot)[..., 0]                  # [B,K,N]
+        mask = att_masks[:, None, :] if att_masks is not None else None
+        weight = masked_softmax(scores.astype(jnp.float32), mask)
+        out = jnp.einsum("bkn,bnd->bkd", weight.astype(att_emb.dtype), att_emb)
+        return out.reshape(bq, -1)
     if jax.default_backend() == "tpu":
         from ..ops.attention import fused_additive_attention
 
@@ -198,6 +219,15 @@ class AttModel(CaptionDecoder):
             rng, sub = (jax.random.split(rng) if rng is not None else (None, None))
             x = dropout(sub, jax.nn.relu(linear(p, x)), 0.5, training)
         return linear(layers[-1], x)
+
+    @property
+    def beam_ctx_no_expand(self) -> tuple:
+        # The unexpanded-memory path (("att", "p_att", "masks") — beams of
+        # one image share the attention memory) was A/B-measured ~5% SLOWER
+        # than expanded+fused at beam=3 on v5e (the K-unrolled kernel
+        # serializes VPU work); keep expansion by default. Revisit for
+        # large beams / box grids.
+        return ()
 
     # ---- decode interface ----
     def make_decoder(self, params, feats: Features, *, training: bool = False,
@@ -407,6 +437,12 @@ class AdaAttModel(AttModel):
         # the reference design implicitly requires these to be equal.
         assert self.input_encoding_size == self.rnn_size, (
             "adaatt requires input_encoding_size == rnn_size")
+
+    @property
+    def beam_ctx_no_expand(self) -> tuple:
+        # the sentinel attention concatenates per-beam fake regions with the
+        # att memory — needs the expanded layout
+        return ()
 
     def core_init(self, rng):
         L = self.num_layers

@@ -97,6 +97,12 @@ class CaptionDecoder:
              rng: Optional[jax.Array] = None):
         raise NotImplementedError
 
+    @property
+    def beam_ctx_no_expand(self) -> tuple:
+        """ctx keys beam search leaves unexpanded ([B, ...] shared across
+        beams); the model's attention must broadcast them over beams."""
+        return ()
+
     # ---- shared ------------------------------------------------------------
     @classmethod
     def from_config(cls, cfg) -> "CaptionDecoder":
@@ -185,4 +191,6 @@ class CaptionDecoder:
 
         return beam_search(step_fn, params, ctx, state0,
                            beam_size=beam_size, seq_length=self.seq_length,
-                           eos_is_zero=True, **beam_opts)
+                           eos_is_zero=True,
+                           ctx_no_expand=self.beam_ctx_no_expand,
+                           **beam_opts)

@@ -230,30 +230,42 @@ def global_attention_init(rng, dim: int, attn_type: str = "dotprod") -> dict:
 def global_attention_apply(p, query, context, *, attn_type="dotprod",
                            attn_transform="softmax", mask=None,
                            upper_bounds=None, c_attn=0.0):
-    """query [B, D], context [B, S, D] -> (attn_out [B, D], attn [B, S]).
+    """query [B*K, D], context [B, S, D] -> (attn_out [B*K, D], attn [B*K, S]).
 
     Parity: GlobalAttention.forward (:84-177): -inf pad mask before the
     transform; dotprod concatenates [ctx; q] -> linear_out -> tanh.
+
+    K > 1 (beam search with unexpanded encoder context,
+    ops/beam_search ctx_no_expand): the context/mask are [B, ...] shared
+    across beams and read once per sentence — a 15x traffic saving at the
+    reference's beam width.
     """
+    bq = query.shape[0]
+    bm = context.shape[0]
+    k = bq // bm
     if attn_type == "dotprod":
         q = jnp.dot(query, p["linear_in"]["w"],
                     preferred_element_type=jnp.float32).astype(query.dtype)
-        scores = jnp.einsum("bsd,bd->bs", context, q)
+        scores = jnp.einsum("bsd,bkd->bks", context, q.reshape(bm, k, -1))
     else:
         wq = jnp.dot(query, p["linear_query"]["w"],
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32).reshape(bm, k, -1)
         uh = jnp.dot(context, p["linear_context"]["w"],
                      preferred_element_type=jnp.float32)
-        wquh = jnp.tanh(uh + wq[:, None, :])
+        wquh = jnp.tanh(uh[:, None, :, :] + wq[:, :, None, :])
         scores = jnp.dot(wquh, p["v"]["w"],
                          preferred_element_type=jnp.float32)[..., 0]
-    scores = scores.astype(jnp.float32)
+    scores = scores.reshape(bq, -1).astype(jnp.float32)
     if c_attn != 0.0 and upper_bounds is not None and "constrained" in attn_transform:
         ub = upper_bounds.at[:, -1].set(0.0)  # sink excluded (ref :160-165)
         scores = scores + c_attn * ub
+    if mask is not None and mask.shape[0] != bq:
+        mask = jnp.repeat(mask, k, axis=0)
     transform = TRANSFORMS[attn_transform]
     attn = transform(scores, mask=mask, upper_bounds=upper_bounds)
-    weighted = jnp.einsum("bs,bsd->bd", attn.astype(context.dtype), context)
+    weighted = jnp.einsum("bks,bsd->bkd",
+                          attn.reshape(bm, k, -1).astype(context.dtype),
+                          context).reshape(bq, -1)
     if attn_type == "dotprod":
         cat = jnp.concatenate([weighted, query], axis=-1)
         out = jnp.tanh(jnp.dot(cat, p["linear_out"]["w"],
@@ -586,10 +598,15 @@ class NMTModel:
             logits = self.generator_logits(p, out)
             return jax.nn.log_softmax(logits, axis=-1), state
 
+        # At beam 15 the encoder context can stay unexpanded across beams
+        # (read once per sentence; global_attention_apply is K-aware) —
+        # kept opt-out after A/B measurements favored expansion at small
+        # beams; coverage requires expansion (per-beam context edits).
+        no_expand = () if self.coverage_attn else ("context", "src_mask")
         return beam_search(
             step_fn, params, ctx, state0,
             beam_size=beam_size, seq_length=max_len,
             bos_token=C.BOS, eos_token=C.EOS, eos_is_zero=False,
-            suppress_unk=False,
+            suppress_unk=False, ctx_no_expand=no_expand,
             record_aux_from_state=lambda st: jnp.argmax(st["attn"], axis=-1),
         )

@@ -42,6 +42,65 @@ def _fused_attention_kernel(p_att_ref, att_h_ref, alpha_ref, mask_ref,
     out_ref[:] = out.astype(out_ref.dtype)
 
 
+def _fused_attention_beams_kernel(p_att_ref, att_h_ref, alpha_ref, mask_ref,
+                                  emb_ref, out_ref, *, beams: int):
+    """K-beam variant: p_att/emb are read once per image block; the K beam
+    queries loop inside the kernel (everything stays in VMEM)."""
+    p_att = p_att_ref[:].astype(jnp.float32)         # [BB, N, A]
+    emb = emb_ref[:].astype(jnp.float32)             # [BB, N, D]
+    mask = mask_ref[:].astype(jnp.float32)           # [BB, N]
+    alpha = alpha_ref[:].astype(jnp.float32)         # [A, 1]
+    for k in range(beams):                            # static unroll
+        att_h = att_h_ref[:, k].astype(jnp.float32)  # [BB, A]
+        dot = jnp.tanh(p_att + att_h[:, None, :])
+        scores = jax.lax.dot_general(
+            dot, alpha, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)[..., 0]
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        w = jnp.exp(scores) * mask
+        w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-9)
+        out = jax.lax.dot_general(
+            w[:, None, :], emb,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, 0, :]
+        out_ref[:, k] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def fused_additive_attention_beams(p_att, att_h, alpha, mask, att_emb, *,
+                                   block_b: int = 8, interpret: bool = False):
+    """p_att: [B, N, A]; att_h: [B, K, A] (beam queries); mask: [B, N];
+    att_emb: [B, N, D] -> [B, K, D]."""
+    b, n, a = p_att.shape
+    k = att_h.shape[1]
+    d = att_emb.shape[-1]
+    kern = functools.partial(_fused_attention_beams_kernel, beams=k)
+    return pl.pallas_call(
+        kern,
+        grid=(pl.cdiv(b, block_b),),
+        in_specs=[
+            pl.BlockSpec((block_b, n, a), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, k, a), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((a, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, k, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, k, d), att_emb.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * k * n * (a + d),
+            bytes_accessed=(b * n * (a + d) + b * k * (a + d)) * 2,
+            transcendentals=b * k * n * a,
+        ),
+    )(p_att, att_h, alpha, mask, att_emb)
+
+
 @functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
 def fused_additive_attention(p_att, att_h, alpha, mask, att_emb, *,
                              block_b: int = 8, interpret: bool = False):

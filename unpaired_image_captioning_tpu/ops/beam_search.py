@@ -51,11 +51,23 @@ class BeamResult(NamedTuple):
     aux: Optional[jax.Array]  # [B, K, T] int32 recorded aux (or None)
 
 
-def _expand_to_beams(tree, beam_size: int):
-    """[B, ...] -> [B*K, ...] with row b*K+k = row b."""
-    return jax.tree.map(
-        lambda x: jnp.repeat(x, beam_size, axis=0) if hasattr(x, "ndim") and x.ndim >= 1 else x,
-        tree)
+def _expand_to_beams(tree, beam_size: int, no_expand=()):
+    """[B, ...] -> [B*K, ...] with row b*K+k = row b.
+
+    Top-level dict keys in `no_expand` are left at [B, ...]: memory-bound
+    leaves (attention memories, encoder contexts) that are identical across
+    beams stay unexpanded so each decode step reads them once per image
+    instead of once per beam — the model's attention handles the
+    [B*K] query vs [B] memory shape split."""
+    def expand(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return jnp.repeat(x, beam_size, axis=0)
+        return x
+
+    if isinstance(tree, dict) and no_expand:
+        return {k: (v if k in no_expand else jax.tree.map(expand, v))
+                for k, v in tree.items()}
+    return jax.tree.map(expand, tree)
 
 
 def beam_search(
@@ -75,6 +87,7 @@ def beam_search(
     suppress_unk: bool = True,
     max_ppl: bool = False,
     record_aux_from_state: Optional[Callable[[Any], jax.Array]] = None,
+    ctx_no_expand: tuple = (),
 ) -> BeamResult:
     """Run batched (diverse) beam search.
 
@@ -90,7 +103,8 @@ def beam_search(
     T = seq_length
 
     batch = jax.tree.leaves(state0)[0].shape[0]
-    ctx = _expand_to_beams(ctx, K) if ctx is not None else None
+    ctx = (_expand_to_beams(ctx, K, no_expand=ctx_no_expand)
+           if ctx is not None else None)
     state = _expand_to_beams(state0, K)
     vocab = None  # resolved at first step
 
