@@ -22,6 +22,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _reference_attention(p_att, att_h, alpha, mask, att_emb):
+    """XLA reference semantics (used as the custom-VJP backward)."""
+    dot = jnp.tanh(p_att.astype(jnp.float32) + att_h.astype(jnp.float32)[:, None, :])
+    scores = jnp.einsum("bna,ao->bno", dot, alpha.astype(jnp.float32))[..., 0]
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    w = jnp.exp(scores) * mask.astype(jnp.float32)
+    w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-9)
+    out = jnp.einsum("bn,bnd->bd", w, att_emb.astype(jnp.float32))
+    return out.astype(att_emb.dtype)
+
+
 def _fused_attention_kernel(p_att_ref, att_h_ref, alpha_ref, mask_ref,
                             emb_ref, out_ref):
     p_att = p_att_ref[:].astype(jnp.float32)        # [BB, N, A]
@@ -66,11 +77,47 @@ def _fused_attention_beams_kernel(p_att_ref, att_h_ref, alpha_ref, mask_ref,
         out_ref[:, k] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def _reference_attention_beams(p_att, att_h, alpha, mask, att_emb):
+    dot = jnp.tanh(p_att.astype(jnp.float32)[:, None]
+                   + att_h.astype(jnp.float32)[:, :, None, :])
+    scores = jnp.einsum("bkna,ao->bkno", dot, alpha.astype(jnp.float32))[..., 0]
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    w = jnp.exp(scores) * mask.astype(jnp.float32)[:, None, :]
+    w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-9)
+    out = jnp.einsum("bkn,bnd->bkd", w, att_emb.astype(jnp.float32))
+    return out.astype(att_emb.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_attention_beams_vjp(block_b: int, interpret: bool):
+    @jax.custom_vjp
+    def attn(p_att, att_h, alpha, mask, att_emb):
+        return _fused_attention_beams_pallas(p_att, att_h, alpha, mask,
+                                             att_emb, block_b=block_b,
+                                             interpret=interpret)
+
+    def fwd(*args):
+        return attn(*args), args
+
+    def bwd(res, ct):
+        _, vjp = jax.vjp(_reference_attention_beams, *res)
+        return vjp(ct)
+
+    attn.defvjp(fwd, bwd)
+    return attn
+
+
 def fused_additive_attention_beams(p_att, att_h, alpha, mask, att_emb, *,
                                    block_b: int = 8, interpret: bool = False):
     """p_att: [B, N, A]; att_h: [B, K, A] (beam queries); mask: [B, N];
-    att_emb: [B, N, D] -> [B, K, D]."""
+    att_emb: [B, N, D] -> [B, K, D]. Differentiable via custom VJP."""
+    return _make_fused_attention_beams_vjp(block_b, interpret)(
+        p_att, att_h, alpha, mask, att_emb)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def _fused_attention_beams_pallas(p_att, att_h, alpha, mask, att_emb, *,
+                                  block_b: int = 8, interpret: bool = False):
     b, n, a = p_att.shape
     k = att_h.shape[1]
     d = att_emb.shape[-1]
@@ -101,11 +148,39 @@ def fused_additive_attention_beams(p_att, att_h, alpha, mask, att_emb, *,
     )(p_att, att_h, alpha, mask, att_emb)
 
 
-@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+@functools.lru_cache(maxsize=None)
+def _make_fused_attention_vjp(block_b: int, interpret: bool):
+    """Pallas forward + XLA-reference backward (SCST differentiates
+    through decode-time attention)."""
+
+    @jax.custom_vjp
+    def attn(p_att, att_h, alpha, mask, att_emb):
+        return _fused_attention_pallas(p_att, att_h, alpha, mask, att_emb,
+                                       block_b=block_b, interpret=interpret)
+
+    def fwd(*args):
+        return attn(*args), args
+
+    def bwd(res, ct):
+        _, vjp = jax.vjp(_reference_attention, *res)
+        return vjp(ct)
+
+    attn.defvjp(fwd, bwd)
+    return attn
+
+
 def fused_additive_attention(p_att, att_h, alpha, mask, att_emb, *,
                              block_b: int = 8, interpret: bool = False):
     """p_att: [B, N, A]; att_h: [B, A]; alpha: [A, 1] (alpha_net weight);
-    mask: [B, N] (1s if None upstream); att_emb: [B, N, D] -> [B, D]."""
+    mask: [B, N] (1s if None upstream); att_emb: [B, N, D] -> [B, D].
+    Differentiable (custom VJP via the XLA reference)."""
+    return _make_fused_attention_vjp(block_b, interpret)(
+        p_att, att_h, alpha, mask, att_emb)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def _fused_attention_pallas(p_att, att_h, alpha, mask, att_emb, *,
+                            block_b: int = 8, interpret: bool = False):
     b, n, a = p_att.shape
     d = att_emb.shape[-1]
     grid = (pl.cdiv(b, block_b),)

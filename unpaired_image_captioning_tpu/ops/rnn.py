@@ -122,9 +122,36 @@ def _fused_lstm_pallas(w, b, x, h, c, *, maxout: bool, block_b: int,
     )(x, h, c, w, b)
 
 
+@functools.lru_cache(maxsize=None)
+def _make_fused_cell_vjp(maxout: bool, block_b: int, interpret: bool):
+    """Pallas forward + XLA-reference backward (pallas_call has no
+    auto-VJP; training differentiates through the cell)."""
+
+    @jax.custom_vjp
+    def cell(w, b, x, h, c):
+        hn, cn = _fused_lstm_pallas(w, b, x, h, c, maxout=maxout,
+                                    block_b=block_b, interpret=interpret)
+        return hn.astype(h.dtype), cn.astype(c.dtype)
+
+    def ref(w, b, x, h, c):
+        hn, cn = lstm_step_ref({"w": w, "b": b}, x, h, c, maxout=maxout)
+        return hn.astype(h.dtype), cn.astype(c.dtype)
+
+    def fwd(w, b, x, h, c):
+        return cell(w, b, x, h, c), (w, b, x, h, c)
+
+    def bwd(res, ct):
+        _, vjp = jax.vjp(ref, *res)
+        return vjp(ct)
+
+    cell.defvjp(fwd, bwd)
+    return cell
+
+
 def lstm_step(params, x, h, c, *, maxout: bool = False,
               use_pallas: bool | None = None) -> Tuple[jax.Array, jax.Array]:
-    """One LSTM step. Uses the fused Pallas kernel on TPU when shapes align.
+    """One LSTM step. Uses the fused Pallas kernel on TPU when shapes align
+    (differentiable: custom VJP recomputes gates via the reference path).
 
     Returns (h_new, c_new), both [B, H] in h.dtype.
     """
@@ -137,10 +164,8 @@ def lstm_step(params, x, h, c, *, maxout: bool = False,
         block_b = min(batch, 256)
         if batch % block_b != 0:
             block_b = batch
-        h_new, c_new = _fused_lstm_pallas(params["w"], params["b"], x, h, c,
-                                          maxout=maxout, block_b=block_b,
-                                          interpret=not _on_tpu())
-        return h_new.astype(h.dtype), c_new.astype(c.dtype)
+        cell = _make_fused_cell_vjp(maxout, block_b, not _on_tpu())
+        return cell(params["w"], params["b"], x, h, c)
     h_new, c_new = lstm_step_ref(params, x, h, c, maxout=maxout)
     return h_new.astype(h.dtype), c_new.astype(c.dtype)
 

@@ -25,6 +25,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import models as model_zoo
 from ..losses.criterion import (kld_loss, language_model_loss, nmt_loss,
@@ -88,8 +89,24 @@ class Trainer:
                         attri_feats=batch.get("attri_feats"),
                         att_masks=batch.get("att_masks"))
 
+    def _cast_compute(self, tree):
+        """Mixed precision: master params stay f32 in the optimizer; the
+        forward/backward computes in cfg.dtype (bf16 on TPU — MXU-native,
+        f32 accumulation via preferred_element_type everywhere)."""
+        if self.cfg.dtype != "bfloat16" or jax.default_backend() != "tpu":
+            return tree
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
+
     def _loss_terms(self, i2t_p, nmt_p, batch, ss_prob, rng, *, rl: bool):
         cfg = self.cfg
+        i2t_p = self._cast_compute(i2t_p)
+        nmt_p = self._cast_compute(nmt_p)
+        batch = dict(batch)
+        for k in ("fc_feats", "att_feats", "attri_feats"):
+            if k in batch and batch[k] is not None:
+                batch[k] = self._cast_compute(batch[k])
         metrics = {}
         total = jnp.float32(0.0)
 
@@ -202,7 +219,18 @@ class Trainer:
                 self._xe_step = self._build_step(rl=False)
             step = self._xe_step
 
-        batch = {k: jnp.asarray(v) for k, v in data.items()
+        def to_device(k, v):
+            # halve H2D bytes for the big float feature tensors by casting
+            # to the compute dtype on host before upload
+            if (self.cfg.dtype == "bfloat16"
+                    and k in ("fc_feats", "att_feats", "attri_feats")
+                    and hasattr(v, "dtype") and v.dtype == np.float32):
+                import ml_dtypes
+
+                v = v.astype(ml_dtypes.bfloat16)
+            return jnp.asarray(v)
+
+        batch = {k: to_device(k, v) for k, v in data.items()
                  if k in ("fc_feats", "att_feats", "attri_feats", "att_masks",
                           "labels", "masks", "gts", "gts_masks")}
         if "nmt" in data:
