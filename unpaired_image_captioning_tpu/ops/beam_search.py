@@ -125,7 +125,7 @@ def beam_search(
 
     def body(carry, t):
         (state, cum, it, seq_buf, logp_buf, aux_buf,
-         fin_rank, fin_score, fin_seq, fin_logp, fin_aux) = carry
+         fin_rank, fin_score, fin_seq, fin_logp, fin_aux) = carry[:11]
 
         it_flat = it.reshape(batch * K)
         logprobs_flat, new_state = step_fn(params, ctx, state, it_flat)
@@ -261,7 +261,22 @@ def beam_search(
 
     carry0 = (state, cum, it, seq_buf, logp_buf, aux_buf,
               fin_rank, fin_score, fin_seq, fin_logp, fin_aux)
-    carry, _ = jax.lax.scan(body, carry0, jnp.arange(t_total))
+
+    # early-exit decode: stop once every live beam is a dead slot (all
+    # finished via EOS) — the reference's python loop breaks the same way.
+    # while_loop is legal here because all beam state lives in the carry.
+    def cond(loop_carry):
+        t, carry = loop_carry
+        live_cum = carry[1]
+        any_alive = jnp.any(live_cum > jnp.float32(DEAD) + 1e-3)
+        return jnp.logical_and(t < t_total, any_alive)
+
+    def loop_body(loop_carry):
+        t, carry = loop_carry
+        carry, _ = body(carry, t)
+        return (t + 1, carry)
+
+    _, carry = jax.lax.while_loop(cond, loop_body, (jnp.int32(0), carry0))
     (_, _, _, _, _, _, fin_rank, fin_score, fin_seq, fin_logp, fin_aux) = carry
 
     # group-major concatenation (reference: done_beams_table reduce-add)

@@ -39,9 +39,18 @@ def sample(
     """
     it0 = jnp.zeros((batch_size,), dtype=jnp.int32)
     unfinished0 = jnp.ones((batch_size,), dtype=jnp.bool_)
+    seq0 = jnp.zeros((batch_size, seq_length), jnp.int32)
+    logps0 = jnp.zeros((batch_size, seq_length), jnp.float32)
+    step_rngs = jax.random.split(rng, seq_length)
 
-    def body(carry, step_rng):
-        state, it, unfinished = carry
+    # while_loop with an early exit once every sequence has emitted EOS
+    # (the reference's `if unfinished.sum() == 0: break`, AttModel.py:242)
+    def cond(carry):
+        t, state, it, unfinished, seq, logps = carry
+        return jnp.logical_and(t < seq_length, jnp.any(unfinished))
+
+    def body(carry):
+        t, state, it, unfinished, seq, logps = carry
         logprobs, state = step_fn(params, state, it)
         logprobs = logprobs.astype(jnp.float32)
         if greedy:
@@ -49,14 +58,18 @@ def sample(
         else:
             scaled = logprobs / jnp.float32(temperature)
             gumbel = -jnp.log(-jnp.log(
-                jax.random.uniform(step_rng, logprobs.shape, minval=1e-20, maxval=1.0)))
+                jax.random.uniform(step_rngs[t], logprobs.shape,
+                                   minval=1e-20, maxval=1.0)))
             nxt = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
         tok_logprob = jnp.take_along_axis(logprobs, nxt[:, None], axis=-1)[:, 0]
         nxt = jnp.where(unfinished, nxt, 0)
-        new_unfinished = jnp.logical_and(unfinished, nxt > 0)
-        return (state, nxt, new_unfinished), (nxt, tok_logprob)
+        write = jnp.arange(seq_length)[None, :] == t
+        seq = jnp.where(write, nxt[:, None], seq)
+        logps = jnp.where(write, jnp.where(unfinished, tok_logprob, 0.0)[:, None],
+                          logps)
+        unfinished = jnp.logical_and(unfinished, nxt > 0)
+        return (t + 1, state, nxt, unfinished, seq, logps)
 
-    step_rngs = jax.random.split(rng, seq_length)
-    (_, _, _), (seq, logps) = jax.lax.scan(
-        body, (init_state, it0, unfinished0), step_rngs)
-    return seq.T, logps.T  # scan stacks time-major; return batch-major
+    _, _, _, _, seq, logps = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), init_state, it0, unfinished0, seq0, logps0))
+    return seq, logps

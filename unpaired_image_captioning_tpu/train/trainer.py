@@ -113,16 +113,31 @@ class Trainer:
         if self.i2t_model is not None and cfg.i2t_train_flag:
             feats = self._feats(batch)
             if rl:
-                r1, r2 = jax.random.split(rng)
-                gen, logps = self.i2t_model.sample(i2t_p, feats, r1,
-                                                   greedy=False)
-                greedy, _ = self.i2t_model.sample(
-                    jax.lax.stop_gradient(i2t_p), feats, r2, greedy=True)
+                # SCST: sample + greedy baseline WITHOUT grad (decode uses an
+                # early-exit while_loop), then recompute the sampled tokens'
+                # logprobs by teacher-forcing the sampled sequence — the
+                # gradient is identical to differentiating through sampling
+                # (reference rewards.py semantics) but the backward is one
+                # parallel/scan forward instead of the decode loop.
+                r1, r2, r3 = jax.random.split(rng, 3)
+                frozen = jax.lax.stop_gradient(i2t_p)
+                gen, _ = self.i2t_model.sample(frozen, feats, r1, greedy=False)
+                greedy, _ = self.i2t_model.sample(frozen, feats, r2,
+                                                  greedy=True)
+                gen = jax.lax.stop_gradient(gen)
                 adv, rs = get_self_critical_reward(
                     gen, jax.lax.stop_gradient(greedy),
                     batch["gts"], batch["gts_masks"], self.df_table,
                     cider_weight=cfg.cider_reward_weight,
                     bleu_weight=cfg.bleu_reward_weight)
+                seq_full = jnp.concatenate(
+                    [jnp.zeros((gen.shape[0], 1), gen.dtype), gen], axis=1)
+                out = self.i2t_model.forward(i2t_p, feats, seq_full,
+                                             training=True, rng=r3)
+                if isinstance(out, list):
+                    out = out[-1]  # stackcap: final head drives decoding
+                logps = jnp.take_along_axis(
+                    out, gen[..., None].astype(jnp.int32), axis=-1)[..., 0]
                 i2t_l = reward_loss(logps, gen, jax.lax.stop_gradient(adv))
                 metrics["avg_reward"] = jnp.mean(rs)
             else:
