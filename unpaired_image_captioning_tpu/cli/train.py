@@ -141,6 +141,10 @@ def main(argv=None):
             scalars = dict(metrics)
             scalars.update({"read_time": read_t, "step_time": step_t,
                             "epoch": trainer.epoch})
+            if "nmt_words" in metrics and step_t > 0:
+                # tokens/sec console stat (Statistics.output parity,
+                # criterion.py:77-95)
+                scalars["nmt_tok_per_s"] = metrics["nmt_words"] / step_t
             logger.add_scalars(it, scalars)
             histories["loss_history"][str(it)] = metrics.get("total_loss")
             histories["lr_history"][str(it)] = metrics.get("lr_i2t")

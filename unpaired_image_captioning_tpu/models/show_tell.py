@@ -32,10 +32,11 @@ class ShowTellModel(CaptionDecoder):
 
     def _core(self, params, xt, state, *, training: bool, rng):
         h, c = state  # [B, L, H]
+        r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
         top, hs, cs = rnn.stacked_lstm_step(
             params["core"], xt, jnp.moveaxis(h, 1, 0), jnp.moveaxis(c, 1, 0),
-            dropout_rng=rng if training else None, dropout=self.drop_prob_lm)
-        out = dropout(rng, top, self.drop_prob_lm, training)
+            dropout_rng=r1 if training else None, dropout=self.drop_prob_lm)
+        out = dropout(r2, top, self.drop_prob_lm, training)
         return out, (jnp.moveaxis(hs, 0, 1), jnp.moveaxis(cs, 0, 1))
 
     def make_decoder(self, params, feats: Features, *, training: bool = False,

@@ -158,6 +158,7 @@ class Trainer:
             metrics["nmt_loss"] = nmt_l
             metrics["nmt_ppl"] = stats.ppl()
             metrics["nmt_acc"] = stats.accuracy()
+            metrics["nmt_words"] = stats.n_words  # -> tokens/s in the CLI
             total = total + nmt_l
 
             if self.joint_vocab is not None and self.i2t_model is not None:
