@@ -94,6 +94,7 @@ class Config:
     share_decoder_embeddings: bool = False
     dropout: float = 0.3
     nmt_model_type: str = "rnn"           # rnn | transformer (train.sh zh2en recipe)
+    label_smoothing: float = 0.0          # NMT label smoothing (transformer recipe)
     nmt_src_vocab_size: int = 0           # filled from data
     nmt_tgt_vocab_size: int = 0
 

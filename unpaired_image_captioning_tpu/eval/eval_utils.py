@@ -172,6 +172,14 @@ def eval_split(model, params, loader, *, split: str = "val",
             "lang_stats": lang_stats, "nmt_stats": nmt_stats}
 
 
+def eval_split_coco_paired(model, params, loader, **kw) -> dict:
+    """Plain single-model COCO eval (parity: eval_utils.py:476-567, the path
+    eval_ensemble uses) — identical loop to eval_split with
+    dataset_type='coco'."""
+    kw.setdefault("dataset_type", "coco")
+    return eval_split(model, params, loader, **kw)
+
+
 def eval_split_coco_unpaired(cap_model, cap_params, nmt_model, nmt_params,
                              coco_loader, cap2nmt, nmt_tgt_itos: Dict[int, str],
                              *, split: str = "val", num_images: int = -1,

@@ -154,7 +154,8 @@ class Trainer:
             outs, _ = self.nmt_model.forward(nmt_p, nb["src"], nb["lengths"],
                                              nb["tgt"], training=True, rng=rng)
             logits = self.nmt_model.generator_logits(nmt_p, outs)
-            nmt_l, stats = nmt_loss(logits, nb["tgt"][:, 1:])
+            nmt_l, stats = nmt_loss(logits, nb["tgt"][:, 1:],
+                                    label_smoothing=cfg.label_smoothing)
             metrics["nmt_loss"] = nmt_l
             metrics["nmt_ppl"] = stats.ppl()
             metrics["nmt_acc"] = stats.accuracy()
@@ -279,6 +280,30 @@ class Trainer:
                     f"at iter {self.iteration}: {out}")
         else:
             self.nan_steps = 0
+        return out
+
+    # ------------------------------------------------------------------ eval
+    def eval(self, loader, *, nmt_valid=None, num_images: int = -1,
+             beam_size: Optional[int] = None, language_eval_refs=None) -> dict:
+        """Validation pass with best-CIDEr / best-NMT-acc tracking
+        (parity: trainer.py:195-215). Returns the eval_split dict plus
+        {'is_best': bool}."""
+        from ..eval.eval_utils import eval_split
+
+        out = eval_split(self.i2t_model, self.i2t_params, loader,
+                         split="val", num_images=num_images,
+                         beam_size=beam_size or self.cfg.beam_size,
+                         language_eval_refs=language_eval_refs,
+                         model_id=self.cfg.id, nmt_model=self.nmt_model,
+                         nmt_params=self.nmt_params, nmt_valid=nmt_valid)
+        score = (out.get("lang_stats") or {}).get("CIDEr", -out["loss"])
+        out["is_best"] = self.best_cider is None or score > self.best_cider
+        if out["is_best"]:
+            self.best_cider = score
+        if out.get("nmt_stats"):
+            acc = out["nmt_stats"]["valid_acc"]
+            if self.best_nmt_acc is None or acc > self.best_nmt_acc:
+                self.best_nmt_acc = acc
         return out
 
     # ------------------------------------------------------------- profiling
