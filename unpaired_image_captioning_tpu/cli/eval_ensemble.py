@@ -19,7 +19,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from .. import models
-    from ..config import Config, parse_opt
+    from ..config import Config
     from ..models.base import Features
     from ..models.ensemble import AttEnsemble
     from ..eval.eval_utils import language_eval

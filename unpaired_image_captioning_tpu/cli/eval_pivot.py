@@ -17,13 +17,11 @@ import tempfile
 
 
 def main(argv=None):
-    from ..utils.text import cocojson2text, text2cocojson
+    from ..utils.text import cocojson2text
     from .eval_unpaired import main as unpaired_main
 
     # The fused path already produces both zh and en predictions; keep the
     # offline artifact trail the reference's tooling expects.
-    import sys
-
     tmp = tempfile.mkdtemp(prefix="pivot_")
     print(f"pivot eval (fused on-device path); artifacts in {tmp}")
     unpaired_main(argv)

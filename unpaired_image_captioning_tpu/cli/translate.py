@@ -8,7 +8,6 @@ from attention argmax, write hypotheses (+ optional n-best / scores).
 from __future__ import annotations
 
 import argparse
-import json
 
 import numpy as np
 

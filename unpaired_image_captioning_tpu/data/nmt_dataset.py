@@ -13,7 +13,7 @@ Storage: h5 file with datasets `src` [N, S] and `tgt` [N, T] int32
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

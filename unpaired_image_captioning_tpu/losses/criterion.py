@@ -18,7 +18,7 @@ variable-length slicing so shapes stay static.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

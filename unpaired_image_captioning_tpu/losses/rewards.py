@@ -14,9 +14,6 @@ rewards.py:51-66).
 
 from __future__ import annotations
 
-from typing import Optional
-
-import jax
 import jax.numpy as jnp
 
 from ..ops.cider import DfTable, bleu4, cider_d

@@ -11,9 +11,8 @@ because states are just a tuple pytree.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 
 from .base import CaptionDecoder, Features

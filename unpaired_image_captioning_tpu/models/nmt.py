@@ -28,8 +28,7 @@ tensors (and its DataParallel(dim=1) quirk) have no TPU purpose.
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Any, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ BatchNorm runs in inference mode with stored statistics. Layout is NHWC
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

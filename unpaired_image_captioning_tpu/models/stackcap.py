@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import rnn
-from .att import AttModel, _mlp_embed, _rngs, attention_apply, attention_init
+from .att import AttModel, _rngs, attention_apply, attention_init
 from .base import Features, dropout, linear, linear_init
 
 

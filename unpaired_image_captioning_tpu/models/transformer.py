@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 
 from .base import CaptionDecoder, Features, dropout, linear, linear_init
-from ..ops.masking import masked_softmax
 
 DROPOUT = 0.1  # reference make_model default
 

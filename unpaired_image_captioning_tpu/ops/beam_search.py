@@ -106,7 +106,6 @@ def beam_search(
     ctx = (_expand_to_beams(ctx, K, no_expand=ctx_no_expand)
            if ctx is not None else None)
     state = _expand_to_beams(state0, K)
-    vocab = None  # resolved at first step
 
     cum = jnp.zeros((batch, G, bd), jnp.float32)
     it = jnp.full((batch, G, bd), bos_token, jnp.int32)

@@ -23,8 +23,7 @@ log df), length = bigram tf total, sim uses min(vec_h, vec_r)·vec_r, score
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ for API-compatible offline stubbing.
 from __future__ import annotations
 
 import argparse
-import json
 
 
 def main(argv=None):

@@ -32,7 +32,6 @@ from ..losses.criterion import (kld_loss, language_model_loss, nmt_loss,
                                 reward_loss, weight_trans_loss)
 from ..losses.rewards import get_self_critical_reward
 from ..models.base import Features
-from ..models.nmt import NMTModel
 from ..ops.cider import DfTable, empty_df_table
 from .checkpoint import CheckpointManager
 from .optimizer import DualOptim

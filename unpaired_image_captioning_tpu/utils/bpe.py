@@ -10,7 +10,7 @@ apply by replaying merges in learned order; codes file format compatible
 
 from __future__ import annotations
 
-from collections import Counter, defaultdict
+from collections import Counter
 from typing import Dict, Iterable, List, Tuple
 
 EOW = "</w>"
