@@ -140,3 +140,79 @@ def test_decoding_constraint_no_repeat(table):
         for t in range(1, T):
             if row[t] != 0:
                 assert row[t] != row[t - 1]
+
+
+def naive_diverse_beam(table, b, *, beam_size, group_size, seq_length,
+                       diversity_lambda):
+    """Host-side staggered diverse groups (CaptionModel.py:100-176
+    semantics): group g active at global t in [g, T+g); penalty counts
+    previous groups' tokens at the same local time."""
+    import math
+
+    bd = beam_size // group_size
+
+    def step_logprobs(it, t):
+        logits = table[b, t] + 0.3 * it * np.arange(V)
+        x = logits - logits.max()
+        return x - math.log(np.exp(x).sum())
+
+    groups = []
+    for g in range(group_size):
+        groups.append({"beams": [{"seq": [], "sum": 0.0, "it": 0}],
+                       "finished": []})
+    for t in range(seq_length + group_size - 1):
+        for g, grp in enumerate(groups):
+            lt = t - g
+            if lt < 0 or lt >= seq_length:
+                continue
+            # diversity penalty from previous groups' tokens at local time lt
+            penalty = np.zeros(V)
+            for p in range(g):
+                for pb in groups[p]["beams"]:
+                    if len(pb["seq"]) > lt:
+                        penalty[pb["seq"][lt]] += diversity_lambda
+            cands = []
+            rows = grp["beams"] if lt > 0 else grp["beams"][:1]
+            for qi, beam in enumerate(rows):
+                # each group's decoder state advances on its LOCAL time
+                lp = step_logprobs(beam["it"], lt).copy()
+                lp[V - 1] -= 1000.0  # UNK
+                aug = lp - penalty
+                for w in range(V):
+                    cands.append((beam["sum"] + aug[w], qi, w, lp[w]))
+            cands.sort(key=lambda c: -c[0])
+            new_beams = []
+            for score, qi, w, tok_lp in cands[:bd]:
+                src = rows[qi]
+                nb = {"seq": src["seq"] + [w], "sum": src["sum"] + tok_lp,
+                      "it": w}
+                if w == 0 or lt == seq_length - 1:
+                    grp["finished"].append({"seq": nb["seq"], "score": nb["sum"]})
+                    nb["sum"] = -1000.0
+                new_beams.append(nb)
+            grp["beams"] = new_beams
+    out = []
+    for grp in groups:
+        fins = sorted(grp["finished"], key=lambda f: -f["score"])[:bd]
+        for f in fins:
+            seq = f["seq"] + [0] * (seq_length - len(f["seq"]))
+            out.append((seq, f["score"]))
+    return out
+
+
+def test_diverse_beam_matches_naive(table):
+    G, K = 2, 4
+    step_fn = make_step(table)
+    state0 = {"t": jnp.zeros((B,), jnp.int32),
+              "b": jnp.arange(B, dtype=jnp.int32)}
+    res = beam_search(step_fn, None, None, state0, beam_size=K, seq_length=T,
+                      group_size=G, diversity_lambda=0.7, suppress_unk=True)
+    seqs = np.asarray(res.seq)
+    scores = np.asarray(res.scores)
+    for b in range(B):
+        ref = naive_diverse_beam(table, b, beam_size=K, group_size=G,
+                                 seq_length=T, diversity_lambda=0.7)
+        for k, (ref_seq, ref_score) in enumerate(ref):
+            np.testing.assert_array_equal(
+                seqs[b, k], ref_seq, err_msg=f"b={b} k={k}")
+            np.testing.assert_allclose(scores[b, k], ref_score, atol=1e-4)

@@ -163,3 +163,29 @@ def test_label_smoothing_changes_loss(tmp_path, loader):
     tr2 = Trainer(cfg2, rng=jax.random.PRNGKey(cfg2.seed))
     m1 = tr2.train(loader.get_batch("train"))
     assert abs(m0["nmt_loss"] - m1["nmt_loss"]) > 1e-6
+
+
+def test_mesh_data_parallel_step(tmp_path, loader):
+    """Joint step under an 8-device CPU mesh matches the single-device step
+    (same seed, same batch)."""
+    import jax
+    from unpaired_image_captioning_tpu.parallel.mesh import make_mesh
+
+    assert len(jax.devices()) >= 8
+    data = loader.get_batch("train")
+    cfg = make_cfg(checkpoint_path=str(tmp_path / "s1"), drop_prob_lm=0.0,
+                   dropout=0.0)
+    tr_single = Trainer(cfg, rng=jax.random.PRNGKey(1))
+    m_single = tr_single.train(data)
+
+    cfg2 = make_cfg(checkpoint_path=str(tmp_path / "s2"), drop_prob_lm=0.0,
+                    dropout=0.0)
+    tr_mesh = Trainer(cfg2, mesh=make_mesh(8, "data"),
+                      rng=jax.random.PRNGKey(1))
+    m_mesh = tr_mesh.train(data)
+    assert abs(m_single["total_loss"] - m_mesh["total_loss"]) < 1e-3
+
+    # params advance identically (up to sharding-induced float noise)
+    for a, b in zip(jax.tree.leaves(tr_single.i2t_params),
+                    jax.tree.leaves(tr_mesh.i2t_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
