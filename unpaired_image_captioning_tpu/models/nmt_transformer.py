@@ -194,6 +194,10 @@ class TransformerNMTModel:
                  + positional_encoding(T, d)[t].astype(memory.dtype))[:, None, :]
             new_k, new_v = state["k"], state["v"]
             bsz = it.shape[0]
+            bm = c["memory"].shape[0]
+            kbeams = bsz // bm  # cross K/V unexpanded: read once per sentence
+            nh = self.num_heads
+            dh = d // nh
             pos_ok = jnp.broadcast_to((jnp.arange(T) <= t)[None, None, :],
                                       (bsz, 1, T))
             attn_out = state["attn"]
@@ -209,20 +213,21 @@ class TransformerNMTModel:
                 x = x + mha_apply(lp["self"], y, new_k[:, li], new_v[:, li],
                                   pos_ok, self.num_heads)
                 y = layer_norm(lp["n2"], x)
-                # cross-attention; also expose mean-head weights for UNK replace
+                # cross-attention against the [B, S, ...] shared memory;
+                # also expose mean-head weights for UNK replacement
                 q = linear(lp["src"]["q"], y)
-                nh = self.num_heads
-                qh = q.reshape(bsz, 1, nh, d // nh)
-                kh = c["cross"][li]["k"].reshape(bsz, -1, nh, d // nh)
-                scores = jnp.einsum("bthd,bshd->bhts", qh, kh) / math.sqrt(d // nh)
-                scores = jnp.where(c["src_mask"][:, None, :, :], scores, -1e9)
+                qh = q.reshape(bm, kbeams, nh, dh)
+                kh = c["cross"][li]["k"].reshape(bm, -1, nh, dh)
+                scores = jnp.einsum("bkhd,bshd->bhks", qh, kh) / math.sqrt(dh)
+                mask = c["src_mask"][:, None, :, :]       # [B, 1, 1, S]
+                scores = jnp.where(mask, scores, -1e9)
                 w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-                vh = c["cross"][li]["v"].reshape(bsz, -1, nh, d // nh)
-                ctx_vec = jnp.einsum("bhts,bshd->bthd", w.astype(x.dtype), vh)
+                vh = c["cross"][li]["v"].reshape(bm, -1, nh, dh)
+                ctx_vec = jnp.einsum("bhks,bshd->bkhd", w.astype(x.dtype), vh)
                 ctx_vec = ctx_vec.reshape(bsz, 1, d)
                 x = x + linear(lp["src"]["o"], ctx_vec)
                 if li == len(p["dec"]) - 1:
-                    attn_out = jnp.mean(w[:, :, 0, :], axis=1)
+                    attn_out = jnp.mean(w, axis=1).reshape(bsz, -1)
                 y = layer_norm(lp["n3"], x)
                 x = x + ffn_apply(lp["ffn"], y)
             x = layer_norm(p["dec_norm"], x)
@@ -234,7 +239,7 @@ class TransformerNMTModel:
         return beam_search(
             step_fn, params, ctx, state0, beam_size=beam_size, seq_length=T,
             bos_token=C.BOS, eos_token=C.EOS, eos_is_zero=False,
-            suppress_unk=False,
+            suppress_unk=False, ctx_no_expand=("cross", "src_mask", "memory"),
             record_aux_from_state=lambda st: jnp.argmax(st["attn"], axis=-1))
 
 
