@@ -72,6 +72,44 @@ def language_eval(dataset_type: str, preds: List[dict], model_id: str,
     return overall
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _eval_fns(model, beam_size: int):
+    """Jitted eval functions cached per (model description, beam) so
+    repeated eval_split calls during training never recompile."""
+    import jax
+
+    @jax.jit
+    def xe_loss_fn(params, feats, labels, masks):
+        out = model.forward(params, feats, labels, training=False)
+        return language_model_loss(out, labels[:, 1:], masks[:, 1:])
+
+    @jax.jit
+    def greedy_fn(params, feats, rng):
+        return model.sample(params, feats, rng)[0]
+
+    @jax.jit
+    def beam_fn(params, feats):
+        return model.sample_beam(params, feats, beam_size=beam_size).seq[:, 0]
+
+    return xe_loss_fn, greedy_fn, beam_fn
+
+
+@functools.lru_cache(maxsize=16)
+def _nmt_eval_fn(nmt_model):
+    import jax
+
+    @jax.jit
+    def fn(params, src, lengths, tgt):
+        outs, _ = nmt_model.forward(params, src, lengths, tgt)
+        logits = nmt_model.generator_logits(params, outs)
+        return nmt_loss(logits, tgt[:, 1:])[1]
+
+    return fn
+
+
 def eval_split(model, params, loader, *, split: str = "val",
                num_images: int = -1, beam_size: int = 1,
                language_eval_refs: Optional[Dict] = None,
@@ -91,18 +129,15 @@ def eval_split(model, params, loader, *, split: str = "val",
     n_total = len(loader.split_ix[split])
     budget = n_total if num_images <= 0 else min(num_images, n_total)
 
-    @jax.jit
-    def xe_loss_fn(params, feats, labels, masks):
-        out = model.forward(params, feats, labels, training=False)
-        return language_model_loss(out, labels[:, 1:], masks[:, 1:])
+    xe_loss_fn, greedy_fn, beam_fn = _eval_fns(model, beam_size)
 
-    @jax.jit
-    def greedy_fn(params, feats, rng):
-        return model.sample(params, feats, rng)[0]
+    def feat_arr(x):
+        # halve eval H2D bytes on TPU (bf16 compute dtype)
+        if jax.default_backend() == "tpu" and x.dtype == np.float32:
+            import ml_dtypes
 
-    @jax.jit
-    def beam_fn(params, feats):
-        return model.sample_beam(params, feats, beam_size=beam_size).seq[:, 0]
+            return jnp.asarray(x.astype(ml_dtypes.bfloat16))
+        return jnp.asarray(x)
 
     losses, n_loss = 0.0, 0
     predictions = []
@@ -111,9 +146,9 @@ def eval_split(model, params, loader, *, split: str = "val",
     while not done:
         data = loader.get_batch(split)
         feats = Features(
-            fc_feats=jnp.asarray(data["fc_feats"]),
-            att_feats=jnp.asarray(data["att_feats"]),
-            attri_feats=jnp.asarray(data["attri_feats"]),
+            fc_feats=feat_arr(data["fc_feats"]),
+            att_feats=feat_arr(data["att_feats"]),
+            attri_feats=feat_arr(data["attri_feats"]),
             att_masks=jnp.asarray(data["att_masks"]))
         labels = jnp.asarray(data["labels"])
         masks = jnp.asarray(data["masks"])
@@ -153,12 +188,7 @@ def eval_split(model, params, loader, *, split: str = "val",
         from ..losses.criterion import NMTStats
 
         total = NMTStats(jnp.float32(0), jnp.float32(0), jnp.float32(0))
-
-        @jax.jit
-        def nmt_eval_fn(params, src, lengths, tgt):
-            outs, _ = nmt_model.forward(params, src, lengths, tgt)
-            logits = nmt_model.generator_logits(params, outs)
-            return nmt_loss(logits, tgt[:, 1:])[1]
+        nmt_eval_fn = _nmt_eval_fn(nmt_model)
 
         for _ in range(len(nmt_valid)):
             nb, _ = nmt_valid.next_batch()
