@@ -167,3 +167,33 @@ def test_html_report(tmp_path):
                     str(tmp_path / "r.html"), references={1: ["the cat"]})
     content = open(p).read()
     assert "a cat" in content and "the cat" in content
+
+
+def test_eval_split_mesh_parallel(loader, rng):
+    """Mesh-sharded eval produces the same predictions as single-device."""
+    from unpaired_image_captioning_tpu.parallel.mesh import make_mesh
+
+    cfg = make_cfg()
+    model = models.setup(cfg)
+    params = model.init_params(rng)
+    single = eval_split(model, params, loader, split="val", num_images=2,
+                        beam_size=2)
+    loader.reset_iterator("val")
+    meshed = eval_split(model, params, loader, split="val", num_images=2,
+                        beam_size=2, mesh=make_mesh(8, "data"))
+    assert ([p["caption"] for p in single["predictions"]]
+            == [p["caption"] for p in meshed["predictions"]])
+
+
+def test_decode_determinism(loader, rng):
+    """Same seed -> identical captions across repeated runs."""
+    cfg = make_cfg("topdown")
+    model = models.setup(cfg)
+    params = model.init_params(rng)
+    a = eval_split(model, params, loader, split="val", num_images=2,
+                   beam_size=2)
+    loader.reset_iterator("val")
+    b = eval_split(model, params, loader, split="val", num_images=2,
+                   beam_size=2)
+    assert ([p["caption"] for p in a["predictions"]]
+            == [p["caption"] for p in b["predictions"]])

@@ -115,8 +115,12 @@ def eval_split(model, params, loader, *, split: str = "val",
                language_eval_refs: Optional[Dict] = None,
                dataset_type: str = "zh", model_id: str = "model",
                rng=None, nmt_model=None, nmt_params=None,
-               nmt_valid=None, verbose: bool = False) -> dict:
+               nmt_valid=None, mesh=None, verbose: bool = False) -> dict:
     """Main val loop (parity: eval_utils.eval_split :208-327).
+
+    `mesh`: optional jax.sharding.Mesh — feature batches shard over the
+    'data' axis so decode runs batch-parallel across chips (SURVEY.md §7.2
+    step 8: the pmap'd-eval role).
 
     Returns {'loss', 'predictions', 'lang_stats', 'nmt_stats'}.
     """
@@ -136,7 +140,12 @@ def eval_split(model, params, loader, *, split: str = "val",
         if jax.default_backend() == "tpu" and x.dtype == np.float32:
             import ml_dtypes
 
-            return jnp.asarray(x.astype(ml_dtypes.bfloat16))
+            x = x.astype(ml_dtypes.bfloat16)
+        if mesh is not None and x.shape[0] % mesh.shape["data"] == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.device_put(
+                x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))))
         return jnp.asarray(x)
 
     losses, n_loss = 0.0, 0
