@@ -47,9 +47,15 @@ def main(argv=None):
                 iid = loader.images[ix].get("id", ix)
                 refs[iid] = loader.vocab.decode_sequence(loader.labels[i1:i2 + 1])
 
+    mesh = None
+    if cfg.num_devices != 1 and len(jax.devices()) > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(cfg.num_devices, "data")
     out = eval_split(model, params, loader, split="test",
                      num_images=cfg.val_images_use, beam_size=cfg.beam_size,
-                     language_eval_refs=refs, model_id=cfg.id, verbose=True)
+                     language_eval_refs=refs, model_id=cfg.id, mesh=mesh,
+                     verbose=True)
     os.makedirs("eval_results", exist_ok=True)
     path = os.path.join("eval_results", f"paired_{cfg.id}_test.json")
     with open(path, "w") as f:
