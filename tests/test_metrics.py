@@ -157,3 +157,16 @@ def test_scst_advantage():
     assert adv.shape == sample.shape
     assert (np.asarray(adv)[:, 0] > 0).all()   # sample better than greedy
     assert (np.asarray(rs) > 0).all()
+
+
+def test_spice_standin():
+    from unpaired_image_captioning_tpu.eval.metrics.spice import Spice, _tuples
+
+    t = _tuples("a furry cat sits on the red mat")
+    assert ("cat",) in t and ("mat", "red") in t
+    assert any(len(x) == 3 and x[1] == "on" for x in t)
+    mean, per = Spice().compute_score(GTS, RES)
+    # exact match scores highest (F1 < 1 because recall is vs the tuple
+    # UNION over references, as in SPICE proper)
+    assert per[0] == max(per) and per[0] > 0.5
+    assert 0 <= mean <= 1
