@@ -1,0 +1,101 @@
+"""Functional tests for the preprocessing scripts + raw-image loader."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_prepro_split_tokenize(tmp_path):
+    from unpaired_image_captioning_tpu.scripts.prepro_split_tokenize import (
+        main, segment_zh)
+
+    assert segment_zh("一个人abc 跑") == ["一", "个", "人", "abc", "跑"] or \
+        len(segment_zh("一个人abc 跑")) >= 2  # jieba may segment differently
+    anns = [{"image_id": f"im{i}.jpg", "caption": [f"一个人 w{i}"]}
+            for i in range(10)]
+    with open(tmp_path / "ann.json", "w", encoding="utf-8") as f:
+        json.dump(anns, f)
+    main(["--inputs", str(tmp_path / "ann.json"), "--output",
+          str(tmp_path / "tok.json"), "--num_val", "2", "--num_test", "2"])
+    out = json.load(open(tmp_path / "tok.json", encoding="utf-8"))
+    assert len(out) == 10
+    splits = [o["split"] for o in out]
+    assert splits.count("val") == 2 and splits.count("test") == 2
+    assert all(isinstance(o["captions"][0], list) for o in out)
+
+
+def test_prepro_labels_and_ngrams_and_reference_json(tmp_path):
+    from unpaired_image_captioning_tpu.scripts.prepro_labels import main as labels
+    from unpaired_image_captioning_tpu.scripts.prepro_ngrams import (load_df,
+                                                                     main as ngrams)
+    from unpaired_image_captioning_tpu.scripts.prepro_reference_json import (
+        main as refjson)
+
+    imgs = [{"id": i, "split": "train" if i < 6 else "val",
+             "file_path": f"i{i}.jpg",
+             "captions": [["猫", "跑"], ["狗", "跳", "高"]]} for i in range(8)]
+    with open(tmp_path / "raw.json", "w", encoding="utf-8") as f:
+        json.dump(imgs, f)
+    labels(["--input_json", str(tmp_path / "raw.json"),
+            "--output_json", str(tmp_path / "talk.json"),
+            "--output_h5", str(tmp_path / "label.h5"),
+            "--max_length", "4", "--word_count_threshold", "0"])
+    talk = json.load(open(tmp_path / "talk.json", encoding="utf-8"))
+    assert len(talk["ix_to_word"]) == 5  # 猫 跑 狗 跳 高
+
+    ngrams(["--input_label_h5", str(tmp_path / "label.h5"),
+            "--input_json", str(tmp_path / "talk.json"),
+            "--output", str(tmp_path / "ng.npz"), "--split", "train"])
+    df, ref_len = load_df(str(tmp_path / "ng.npz"))
+    assert ref_len == 6.0  # 6 train images
+    assert all(v <= 6 for v in df.values()) and df
+
+    refjson(["--input_json", str(tmp_path / "talk.json"),
+             "--input_label_h5", str(tmp_path / "label.h5"),
+             "--output", str(tmp_path / "refs.json"), "--split", "val"])
+    refs = json.load(open(tmp_path / "refs.json", encoding="utf-8"))
+    assert len(refs["images"]) == 2
+    assert len(refs["annotations"]) == 4
+    assert refs["type"] == "captions"
+
+
+def test_make_bu_data(tmp_path):
+    import base64
+    import csv
+
+    from unpaired_image_captioning_tpu.scripts.make_bu_data import main
+
+    feats = np.random.RandomState(0).randn(3, 8).astype(np.float32)
+    boxes = np.abs(np.random.RandomState(1).randn(3, 4)).astype(np.float32)
+    with open(tmp_path / "bu.tsv", "w", newline="") as f:
+        w = csv.writer(f, delimiter="\t")
+        w.writerow(["42", "640", "480", "3",
+                    base64.b64encode(boxes.tobytes()).decode(),
+                    base64.b64encode(feats.tobytes()).decode()])
+    main(["--input_tsvs", str(tmp_path / "bu.tsv"),
+          "--output_dir", str(tmp_path / "bu"), "--feat_dim", "8"])
+    fc = np.load(tmp_path / "bu_fc" / "42.npy")
+    att = np.load(tmp_path / "bu_att" / "42.npz")["feat"]
+    box = np.load(tmp_path / "bu_box" / "42.npy")
+    np.testing.assert_allclose(fc, feats.mean(0), rtol=1e-6)
+    np.testing.assert_allclose(att, feats, rtol=1e-6)
+    np.testing.assert_allclose(box, boxes, rtol=1e-6)
+
+
+def test_raw_image_loader(tmp_path):
+    from unpaired_image_captioning_tpu.data.raw_images import RawImageLoader
+
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        np.save(tmp_path / f"img{i}.npy",
+                rng.randint(0, 255, (40, 50, 3)).astype(np.uint8))
+    loader = RawImageLoader(folder_path=str(tmp_path), batch_size=2,
+                            att_size=2, depth="resnet50", image_size=64)
+    data = loader.get_batch()
+    assert data["fc_feats"].shape == (2, 2048)
+    assert data["att_feats"].shape == (2, 4, 2048)
+    assert np.isfinite(data["fc_feats"]).all()
+    data2 = loader.get_batch()
+    assert data2["bounds"]["wrapped"]  # 3 images, batch 2 -> wraps
