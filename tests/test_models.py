@@ -150,3 +150,22 @@ def test_fc_loss_decreases(rng):
         if first is None:
             first = float(loss)
     assert float(loss) < first * 0.7
+
+
+def test_logit_layers_and_use_bn(rng):
+    """logit MLP head (logit_layers>1) + BatchNorm variants compile and
+    decode (AttModel.py:88-93 logit stack, :79-84 use_bn)."""
+    cfg = tiny_cfg("topdown")
+    cfg.logit_layers = 2
+    cfg.use_bn = 2
+    model = models.setup(cfg)
+    params = model.init_params(rng)
+    assert len(params["logit"]) == 2
+    assert "bn0" in params and "bn1" in params
+    feats = make_feats(rng)
+    seq = make_seq(rng)
+    out = model.forward(params, feats, seq, training=True,
+                        rng=jax.random.fold_in(rng, 1))
+    assert np.isfinite(np.asarray(out)).all()
+    gen, _ = model.sample(params, feats, rng)
+    assert gen.shape == (B, T)
