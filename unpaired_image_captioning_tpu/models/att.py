@@ -150,6 +150,14 @@ def _rngs(rng, n):
     return list(jax.random.split(rng, n))
 
 
+# decode-path att1->lstm1->att2 step fusion (Stack/Dense cores). A/B on
+# v5e at beam=3: fused [4645, 4299] vs unfused [4771, 4686] caps/s — the
+# monolithic kernel's larger VMEM footprint pipelines worse than two lean
+# attention kernels, so fusion defaults OFF; kept (tested) for future
+# tuning on other shapes.
+STEP_FUSION = False
+
+
 # ---------------------------------------------------------------------------
 # base
 # ---------------------------------------------------------------------------
@@ -565,6 +573,23 @@ class StackAttModel(AttModel):
         h0, c0 = rnn.lstm_step(p["lstm0"], jnp.concatenate([xt, ctx["fc"]], -1),
                                h[:, 0], c[:, 0], maxout=True)
         h0d = dropout(r[0], h0, self.drop_prob_lm, training)
+        if self._can_fuse_stack(ctx, h0, training):
+            # decode-path step fusion: att1 -> lstm1 -> att2 in ONE kernel,
+            # attention memory read once per step (profiling showed the two
+            # separate attention passes dominating beam decode)
+            from ..ops.attention import fused_att_lstm_att
+
+            q1 = linear(p["att1"]["h2att"], h0d)
+            mask = (ctx["masks"] if ctx["masks"] is not None
+                    else jnp.ones(ctx["p_att"].shape[:2], jnp.float32))
+            h1, c1, att2 = fused_att_lstm_att(
+                ctx["p_att"], ctx["att"], mask, q1, h0d, h[:, 1], c[:, 1],
+                p["lstm1"]["w"], p["lstm1"]["b"], p["emb2"]["w"],
+                p["emb2"]["b"], p["att2"]["h2att"]["w"],
+                p["att2"]["h2att"]["b"], p["att1"]["alpha_net"]["w"],
+                p["att2"]["alpha_net"]["w"])
+            return (h0d, h1, att2, r[2],
+                    (jnp.stack([h0, h1], 1), jnp.stack([c0, c1], 1)))
         att1 = attention_apply(p["att1"], h0d, ctx["att"], ctx["p_att"], ctx["masks"])
         h1, c1 = rnn.lstm_step(p["lstm1"], jnp.concatenate([h0d, att1], -1),
                                h[:, 1], c[:, 1], maxout=True)
@@ -573,6 +598,15 @@ class StackAttModel(AttModel):
                                ctx["att"], ctx["p_att"], ctx["masks"])
         return (h0d, h1d, att2, r[2],
                 (jnp.stack([h0, h1], 1), jnp.stack([c0, c1], 1)))
+
+    def _can_fuse_stack(self, ctx, h0, training: bool) -> bool:
+        # eval/decode only (dropout-free), expanded memory layout, aligned
+        import unpaired_image_captioning_tpu.models.att as _att_mod
+
+        return (_att_mod.STEP_FUSION and not training
+                and jax.default_backend() == "tpu"
+                and ctx["att"].shape[0] == h0.shape[0]
+                and self.rnn_size % 128 == 0 and self.att_hid_size % 128 == 0)
 
     def core_step(self, p, xt, ctx, state, *, training, rng):
         # parity: StackAttCore.forward (:478-486)

@@ -208,3 +208,129 @@ def _fused_attention_pallas(p_att, att_h, alpha, mask, att_emb, *,
             transcendentals=b * n * a,
         ),
     )(p_att, att_h, alpha, mask, att_emb)
+
+
+# ---------------------------------------------------------------------------
+# step-fused attention pair for the Stack/Dense cores
+# ---------------------------------------------------------------------------
+
+def _att_lstm_att_kernel(p_att_ref, emb_ref, mask_ref, q1_ref, h0_ref,
+                         h1p_ref, c1p_ref, w1_ref, b1_ref, emb2_ref,
+                         emb2_b_ref, h2att2_ref, h2att2_b_ref,
+                         alpha1_ref, alpha2_ref,
+                         h1_out, c1_out, att2_out, *, hidden: int):
+    """att1 -> maxout lstm1 -> att2 with the attention memory read ONCE.
+
+    Decode-path fusion for StackAtt/DenseAtt cores (att1 feeds lstm1 whose
+    hidden forms att2's query, AttModel.py:478-486/:518-526): profiling
+    shows the two separate attention kernels dominate beam decode; keeping
+    p_att/emb resident in VMEM across both halves removes one full read of
+    the [B, N, A] + [B, N, D] memories per step.
+    """
+    p_att = p_att_ref[:].astype(jnp.float32)        # [BB, N, A]
+    emb = emb_ref[:].astype(jnp.float32)            # [BB, N, D]
+    mask = mask_ref[:].astype(jnp.float32)          # [BB, N]
+
+    def attend(q, alpha):                            # q: [BB, A]
+        dot = jnp.tanh(p_att + q[:, None, :])
+        scores = jax.lax.dot_general(
+            dot, alpha.astype(jnp.float32),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)[..., 0]
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        w = jnp.exp(scores) * mask
+        w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-9)
+        return jax.lax.dot_general(
+            w[:, None, :], emb,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, 0, :]
+
+    att1 = attend(q1_ref[:].astype(jnp.float32), alpha1_ref[:])
+
+    # maxout lstm1: rows of w1 = [h0 | att1 | h1_prev]
+    h0 = h0_ref[:].astype(jnp.float32)
+    xh = jnp.concatenate([h0, att1, h1p_ref[:].astype(jnp.float32)], axis=-1)
+    gates = jnp.dot(xh, w1_ref[:].astype(jnp.float32),
+                    preferred_element_type=jnp.float32) + b1_ref[:].astype(jnp.float32)
+    sig = jax.nn.sigmoid(gates[..., : 3 * hidden])
+    in_t = jnp.maximum(gates[..., 3 * hidden: 4 * hidden],
+                       gates[..., 4 * hidden: 5 * hidden])
+    c1 = sig[..., hidden: 2 * hidden] * c1p_ref[:].astype(jnp.float32) \
+        + sig[..., : hidden] * in_t
+    h1 = sig[..., 2 * hidden: 3 * hidden] * jnp.tanh(c1)
+
+    # att2 query: h2att2(h1 + emb2(att1)) — biases included (they sit
+    # inside the tanh, not softmax-shift-invariant)
+    q2_in = h1 + jnp.dot(att1, emb2_ref[:].astype(jnp.float32),
+                         preferred_element_type=jnp.float32) \
+        + emb2_b_ref[:].astype(jnp.float32)
+    q2 = jnp.dot(q2_in, h2att2_ref[:].astype(jnp.float32),
+                 preferred_element_type=jnp.float32) \
+        + h2att2_b_ref[:].astype(jnp.float32)
+    att2 = attend(q2, alpha2_ref[:])
+
+    h1_out[:] = h1.astype(h1_out.dtype)
+    c1_out[:] = c1.astype(c1_out.dtype)
+    att2_out[:] = att2.astype(att2_out.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def fused_att_lstm_att(p_att, att_emb, mask, q1, h0d, h1_prev, c1_prev,
+                       w1, b1, emb2_w, emb2_b, h2att2_w, h2att2_b,
+                       alpha1, alpha2, *,
+                       block_b: int = 8, interpret: bool = False):
+    """Decode-path fusion (eval only — dropout-free). Returns
+    (h1, c1, att2_res); see _att_lstm_att_kernel."""
+    b, n, a = p_att.shape
+    d = att_emb.shape[-1]
+    hidden = h1_prev.shape[-1]
+    kern = functools.partial(_att_lstm_att_kernel, hidden=hidden)
+    row = lambda i: (i, 0)
+    full = lambda i: (0, 0)
+    out_shape = (jax.ShapeDtypeStruct((b, hidden), h1_prev.dtype),
+                 jax.ShapeDtypeStruct((b, hidden), c1_prev.dtype),
+                 jax.ShapeDtypeStruct((b, d), att_emb.dtype))
+    return pl.pallas_call(
+        kern,
+        grid=(pl.cdiv(b, block_b),),
+        in_specs=[
+            pl.BlockSpec((block_b, n, a), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, n), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, a), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, h0d.shape[-1]), row,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, hidden), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, hidden), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w1.shape, full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w1.shape[1],), lambda i: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(emb2_w.shape, full, memory_space=pltpu.VMEM),
+            pl.BlockSpec(emb2_b.shape, lambda i: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(h2att2_w.shape, full, memory_space=pltpu.VMEM),
+            pl.BlockSpec(h2att2_b.shape, lambda i: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(alpha1.shape, full, memory_space=pltpu.VMEM),
+            pl.BlockSpec(alpha2.shape, full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_b, hidden), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, hidden), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, d), row, memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (2 * n * (a + d) + xh_flops(w1) + a * a + d * a),
+            bytes_accessed=(b * n * (a + d)) * 2 + w1.size * 2,
+            transcendentals=2 * b * n * a,
+        ),
+    )(p_att, att_emb, mask, q1, h0d, h1_prev, c1_prev, w1, b1, emb2_w,
+      emb2_b, h2att2_w, h2att2_b, alpha1, alpha2)
+
+
+def xh_flops(w1):
+    return w1.shape[0] * w1.shape[1]
