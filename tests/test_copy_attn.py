@@ -61,3 +61,62 @@ def test_attention_regularizers():
                                   lambda_exhaust=0.01, lambda_coverage=1.0)
     # exhaustion: 4 slots x 0.5 x 0.01 = 0.02 ; coverage: 5 x 0.4 = 2.0
     np.testing.assert_allclose(float(loss), 0.02 + 2.0, atol=1e-5)
+
+
+def test_copy_extended_dynamic_vocab(rng):
+    """Extended-vocab CopyGenerator: distribution over [V + S] normalizes;
+    out-of-vocab copy mass lands on first-occurrence slots (duplicates share
+    one slot, OpenNMT src_map semantics); folding the extension back onto
+    UNK recovers the collapsed distribution."""
+    model = NMTModel(src_vocab_size=SRC_V, tgt_vocab_size=TGT_V,
+                     word_vec_size=16, rnn_size=24, layers=1, copy_attn=True,
+                     max_decode_len=8)
+    params = model.init_params(rng)
+    src, lengths, tgt = make_batch(rng)
+    # force a duplicate source token and a pad
+    src = src.at[:, 3].set(src[:, 1]).at[:, -1].set(C.PAD)
+    outs, (attns, copy_attns) = model.forward(params, src, lengths, tgt)
+
+    src2tgt = np.full((SRC_V,), C.UNK, np.int32)
+    src2tgt[5:15] = np.arange(5, 15)
+    src2tgt[C.PAD] = C.PAD  # Dict.align maps <blank> -> <blank>
+    lp_ext = model.copy_generator_extended_logprobs(
+        params, outs, copy_attns, src, jnp.asarray(src2tgt))
+    assert lp_ext.shape == (B, T - 1, TGT_V + S)
+    p_ext = np.exp(np.asarray(lp_ext))
+    np.testing.assert_allclose(p_ext.sum(-1), 1.0, atol=1e-3)
+
+    # duplicate source token: slot of position 3 must be empty (shares 1)
+    first = np.asarray(model.src_first_occurrence(src))
+    assert (first[:, 3] == 1).all() or (src2tgt[np.asarray(src)[:, 3]] != C.UNK).all()
+    dup_oov = src2tgt[np.asarray(src)[:, 3]] == C.UNK
+    assert (p_ext[dup_oov, :, TGT_V + 3] < 1e-12).all()
+    # pad column gets no copy mass
+    assert (p_ext[:, :, TGT_V + S - 1] < 1e-12).all()
+
+    # folding extension onto UNK == collapsed copy_generator_logprobs
+    lp_col = model.copy_generator_logprobs(params, outs, copy_attns, src,
+                                           jnp.asarray(src2tgt))
+    folded = p_ext[..., :TGT_V].copy()
+    folded[..., C.UNK] += p_ext[..., TGT_V:].sum(-1)
+    np.testing.assert_allclose(folded, np.exp(np.asarray(lp_col)),
+                               atol=2e-3, rtol=1e-3)
+
+    # forced-copy targets: UNK gold token with alignment -> extended id
+    align = np.full((B, T - 1), -1, np.int32)
+    tgt_shift = np.asarray(tgt)[:, 1:].copy()
+    tgt_shift[:, 2] = C.UNK
+    align[:, 2] = 3  # copies source position 3 (canonical slot: 1)
+    ext_t = np.asarray(model.extended_copy_targets(
+        jnp.asarray(tgt_shift), jnp.asarray(align), src))
+    assert (ext_t[:, 2] == TGT_V + first[:, 3]).all()
+    assert (ext_t[:, 0] == tgt_shift[:, 0]).all()
+
+    # beam translate over the extended vocab + exact copy resolution
+    res = model.translate_batch(params, src, lengths, beam_size=3,
+                                src2tgt=jnp.asarray(src2tgt))
+    tgt_seq, copy_pos = model.resolve_extended(res.seq)
+    tgt_seq, copy_pos = np.asarray(tgt_seq), np.asarray(copy_pos)
+    assert tgt_seq.max() < TGT_V
+    assert ((copy_pos == -1) | (copy_pos < S)).all()
+    assert (tgt_seq[copy_pos >= 0] == C.UNK).all()

@@ -189,3 +189,48 @@ def test_mesh_data_parallel_step(tmp_path, loader):
     for a, b in zip(jax.tree.leaves(tr_single.i2t_params),
                     jax.tree.leaves(tr_mesh.i2t_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_bn_running_stats_momentum(tmp_path, loader):
+    """use_bn training momentum-tracks running stats like torch BatchNorm1d:
+    running = 0.9*running + 0.1*batch, batch stats over REAL att rows only
+    (pack_wrapper parity), unbiased variance for the running accumulator."""
+    import jax.numpy as jnp
+
+    from unpaired_image_captioning_tpu.models.att import (_masked_mean_var,
+                                                          apply_bn_updates)
+
+    # unit: masked moments match numpy over real rows
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(3, 5, 7)).astype(np.float32)
+    mask = (rng.random((3, 5)) > 0.4).astype(np.float32)
+    mean, var, n = _masked_mean_var(jnp.asarray(x), jnp.asarray(mask))
+    rows = x.reshape(-1, 7)[mask.reshape(-1) > 0]
+    np.testing.assert_allclose(np.asarray(mean), rows.mean(0), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(var), rows.var(0), rtol=2e-5, atol=2e-6)
+    assert float(n) == rows.shape[0]
+
+    # unit: momentum blend formula
+    p = {"bn0": {"mean": jnp.zeros(4), "var": jnp.ones(4),
+                 "scale": jnp.ones(4), "offset": jnp.zeros(4)}}
+    new = apply_bn_updates(p, {"bn0": (jnp.full(4, 2.0), jnp.full(4, 3.0))})
+    np.testing.assert_allclose(np.asarray(new["bn0"]["mean"]), 0.2, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(new["bn0"]["var"]),
+                               0.9 + 0.3, rtol=1e-6)
+
+    # integration: trainer steps move the running stats off identity for a
+    # use_bn=2 model, and eval-mode forward consumes them finitely
+    cfg = make_cfg(caption_model="topdown", use_bn=2,
+                   checkpoint_path=str(tmp_path / "save"))
+    tr = Trainer(cfg)
+    assert float(jnp.abs(tr.i2t_params["bn0"]["mean"]).sum()) == 0.0
+    for _ in range(3):
+        m = tr.train(loader.get_batch("train"))
+    assert math.isfinite(m["i2t_loss"])
+    bn0 = tr.i2t_params["bn0"]
+    bn1 = tr.i2t_params["bn1"]
+    assert float(jnp.abs(bn0["mean"]).max()) > 0.0
+    assert float(jnp.abs(bn1["mean"]).max()) > 0.0
+    assert float(jnp.abs(bn0["var"] - 1.0).max()) > 0.0
+    # running stats stay finite and positive-variance
+    assert bool(jnp.all(bn0["var"] > 0)) and bool(jnp.all(bn1["var"] > 0))

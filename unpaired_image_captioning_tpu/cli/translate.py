@@ -50,11 +50,21 @@ def main(argv=None):
             ids = src_dict.convert_to_idx(toks, C.UNK_WORD)
             src[bi, :len(ids)] = ids
         lengths = (src != C.PAD).sum(1).astype(np.int32)
+        src2tgt = (jnp.asarray(src_dict.align(tgt_dict))
+                   if model.copy_attn else None)
         res = model.translate_batch(params, jnp.asarray(src),
                                     jnp.asarray(lengths),
                                     beam_size=args.beam_size,
-                                    max_len=args.max_sent_length)
-        seqs = np.asarray(res.seq)
+                                    max_len=args.max_sent_length,
+                                    src2tgt=src2tgt)
+        copy_pos = None
+        if src2tgt is not None:
+            # extended dynamic vocab: ids >= V are exact source copies
+            tgt_seq, pos = model.resolve_extended(res.seq)
+            seqs = np.asarray(tgt_seq)
+            copy_pos = np.asarray(pos)
+        else:
+            seqs = np.asarray(res.seq)
         attn = np.asarray(res.aux)
         for bi, toks in enumerate(chunk):
             for k in range(args.n_best):
@@ -66,9 +76,13 @@ def main(argv=None):
                     if tok == C.BOS:
                         continue
                     if tok == C.UNK and args.replace_unk and toks:
-                        # UNK -> source token with max attention
+                        # exact copy position from the extended vocab when
+                        # available; else source token with max attention
                         # (parity: NMT_Models.buildTargetTokens :312-320)
-                        j = min(int(attn[bi, k, t]), len(toks) - 1)
+                        if copy_pos is not None and copy_pos[bi, k, t] >= 0:
+                            j = min(int(copy_pos[bi, k, t]), len(toks) - 1)
+                        else:
+                            j = min(int(attn[bi, k, t]), len(toks) - 1)
                         words.append(toks[j])
                     else:
                         words.append(tgt_dict.get_label(tok, C.UNK_WORD))

@@ -100,20 +100,61 @@ def _mlp_embed(p, x, rate, training, rng):
     return dropout(rng, jax.nn.relu(linear(p, x)), rate, training)
 
 
-def _batch_norm(p, x, training: bool = True):
-    """BatchNorm: batch statistics in training; stored statistics in eval
-    (torch running-stat semantics — populate them with
-    `calibrate_batch_norm` after training; fresh params hold the identity
-    stats mean=0/var=1)."""
-    if training:
-        flat = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+BN_MOMENTUM = 0.1  # torch nn.BatchNorm1d default
+
+
+def _masked_mean_var(x, mask):
+    """Per-feature mean/biased-var over REAL rows only. The reference feeds
+    BN through pack_wrapper (AttModel.py:44-53), so padded att slots never
+    contribute to batch statistics; with fixed shapes that becomes a
+    mask-weighted moment computation."""
+    flat = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    if mask is None:
+        n = jnp.float32(flat.shape[0])
         mean = jnp.mean(flat, axis=0)
-        var = jnp.var(flat, axis=0)
+        var = jnp.mean(jnp.square(flat - mean), axis=0)
+    else:
+        m = (mask.reshape(-1, 1) > 0).astype(jnp.float32)
+        n = jnp.maximum(jnp.sum(m), 1.0)
+        mean = jnp.sum(flat * m, axis=0) / n
+        var = jnp.sum(jnp.square(flat - mean) * m, axis=0) / n
+    return mean, var, n
+
+
+def _batch_norm(p, x, training: bool = True, *, mask=None, aux_out=None,
+                key=None):
+    """BatchNorm: batch statistics in training; stored running statistics in
+    eval (torch semantics). In training, when `aux_out` is provided, the
+    detached batch moments are stashed under `key` as (mean, unbiased_var)
+    so the trainer can momentum-track the running stats exactly like torch
+    (running_var uses the UNBIASED batch variance; normalization uses the
+    biased one). Fresh params hold identity stats mean=0/var=1; converted
+    checkpoints carry the torch stats; `calibrate_batch_norm` can also fill
+    them from data post-hoc."""
+    if training:
+        mean, var, n = _masked_mean_var(x, mask)
+        if aux_out is not None and key is not None:
+            unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+            aux_out[key] = (jax.lax.stop_gradient(mean),
+                            jax.lax.stop_gradient(unbiased))
     else:
         mean = p["mean"]
         var = p["var"]
     norm = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + 1e-5)
     return (norm * p["scale"] + p["offset"]).astype(x.dtype)
+
+
+def apply_bn_updates(params, bn_aux, momentum: float = BN_MOMENTUM):
+    """Blend batch moments collected by the forward pass into the running
+    stats: running = (1-m)*running + m*batch (torch BatchNorm1d update).
+    `bn_aux` maps param key ("bn0"/"bn1") -> (mean, unbiased_var)."""
+    params = dict(params)
+    for k, (mean, var) in bn_aux.items():
+        p = params[k]
+        params[k] = dict(p,
+                         mean=(1.0 - momentum) * p["mean"] + momentum * mean,
+                         var=(1.0 - momentum) * p["var"] + momentum * var)
+    return params
 
 
 def calibrate_batch_norm(params, loader, *, split: str = "train",
@@ -239,7 +280,8 @@ class AttModel(CaptionDecoder):
 
     # ---- decode interface ----
     def make_decoder(self, params, feats: Features, *, training: bool = False,
-                     rng: Optional[jax.Array] = None) -> Tuple[Any, Any]:
+                     rng: Optional[jax.Array] = None,
+                     aux_out: Optional[dict] = None) -> Tuple[Any, Any]:
         batch = feats.fc_feats.shape[0]
         r = _rngs(rng, 2)
         if self.fc_identity:
@@ -252,11 +294,15 @@ class AttModel(CaptionDecoder):
             att_emb = att
         else:
             if self.use_bn:
-                att = _batch_norm(params["bn0"], att, training)
+                att = _batch_norm(params["bn0"], att, training,
+                                  mask=feats.att_masks, aux_out=aux_out,
+                                  key="bn0")
             att_emb = _mlp_embed(params["att_embed"], att,
                                  self.drop_prob_lm, training, r[1])
             if self.use_bn == 2:
-                att_emb = _batch_norm(params["bn1"], att_emb, training)
+                att_emb = _batch_norm(params["bn1"], att_emb, training,
+                                      mask=feats.att_masks, aux_out=aux_out,
+                                      key="bn1")
         p_att = linear(params["ctx2att"], att_emb)
         ctx = {"fc": fc_emb, "att": att_emb, "p_att": p_att,
                "masks": feats.att_masks}

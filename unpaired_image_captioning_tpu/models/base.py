@@ -115,7 +115,8 @@ class CaptionDecoder:
         return cls(**kwargs)
 
     def forward(self, params, feats: Features, seq, *, training: bool = False,
-                rng: Optional[jax.Array] = None, ss_prob: float = 0.0):
+                rng: Optional[jax.Array] = None, ss_prob: float = 0.0,
+                aux_out: Optional[dict] = None):
         """Teacher-forcing forward as one scan.
 
         seq: [B, L] caption labels incl. leading BOS(0) column. Returns
@@ -125,13 +126,20 @@ class CaptionDecoder:
         Scheduled sampling (ss_prob > 0, training): per element, with prob
         ss_prob the input token is replaced by a sample from the previous
         step's output distribution (parity: FCModel_NMT.py:100-115).
+
+        aux_out: optional dict the forward fills with detached side-channel
+        stats (BatchNorm batch moments for momentum running-stat tracking);
+        only passed to make_decoder when provided, so overrides without the
+        kwarg stay compatible.
         """
         batch = seq.shape[0]
         n_steps = seq.shape[1] - 1
         if rng is None:
             rng = jax.random.PRNGKey(0)
         ctx_rng, dec_rng = jax.random.split(rng)
-        ctx, state0 = self.make_decoder(params, feats, training=training, rng=ctx_rng)
+        mk_kwargs = {} if aux_out is None else {"aux_out": aux_out}
+        ctx, state0 = self.make_decoder(params, feats, training=training,
+                                        rng=ctx_rng, **mk_kwargs)
 
         vocab_p1 = self.vocab_size + 1
         init_logprobs = jnp.zeros((batch, vocab_p1), dtype=jnp.float32)

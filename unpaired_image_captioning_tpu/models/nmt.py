@@ -519,6 +519,86 @@ class NMTModel:
         p = (1.0 - p_copy) * p_vocab + p_copy * copy_dist
         return jnp.log(jnp.maximum(p, 1e-20))
 
+    @staticmethod
+    def src_first_occurrence(src_ids):
+        """c[b, j] = first position i with src[b, i] == src[b, j].
+
+        OpenNMT builds a per-batch dynamic vocab of source TYPES (src_map,
+        onmt/IO.py) so duplicate source tokens share one extended slot; with
+        static shapes that becomes position-indexed slots canonicalized to
+        the first occurrence."""
+        S = src_ids.shape[1]
+        eq = src_ids[:, :, None] == src_ids[:, None, :]          # [B, j, i]
+        return jnp.min(jnp.where(eq, jnp.arange(S)[None, None, :], S), axis=-1)
+
+    def copy_generator_extended_logprobs(self, params, outputs, copy_attns,
+                                         src_ids, src2tgt):
+        """Extended-dynamic-vocab CopyGenerator (parity:
+        onmt/modules/CopyGenerator.py + the Translator's collapseCopyScores):
+        log p over [tgt_vocab + S]. Copy mass for source words INSIDE the
+        target vocab folds onto the target word; mass for out-of-vocab
+        source words lands on extended slot V + first_occurrence(j), so the
+        decoder can emit an exact copy of an unmapped source word instead of
+        collapsing it to UNK. Static shapes: the dynamic vocab is
+        position-indexed per row, sized by the padded source length.
+
+        outputs [B(,T),rnn]; copy_attns [B(,T),S]; src_ids [B,S];
+        src2tgt [src_vocab] (Dict.align map, unmapped -> UNK).
+        """
+        V = self.tgt_vocab_size
+        squeeze = copy_attns.ndim == 2
+        if squeeze:
+            outputs = outputs[:, None, :]
+            copy_attns = copy_attns[:, None, :]
+        logits = self.generator_logits(params, outputs)
+        p_vocab = jax.nn.softmax(logits, axis=-1)                # [B, T, V]
+        p_copy = jax.nn.sigmoid(
+            linear(params["copy_gate"], outputs).astype(jnp.float32))
+        tgt_of_src = jnp.take(src2tgt, src_ids, axis=0)          # [B, S]
+        live = src_ids != C.PAD
+        # unmapped markers: UNK (explicit) or PAD (Dict.align default).
+        # PAD source positions fold onto tgt PAD (OpenNMT's dynamic vocab
+        # maps <blank> to <blank>), conserving probability mass even when
+        # the attention leaks onto pads.
+        in_vocab = ((tgt_of_src != C.UNK) & (tgt_of_src != C.PAD)) | ~live
+        tgt_fold = jnp.where(live, tgt_of_src, C.PAD)
+        attn = copy_attns.astype(jnp.float32)
+        oh_vocab = (jax.nn.one_hot(tgt_fold, V, dtype=jnp.float32)
+                    * in_vocab[..., None])
+        copy_to_vocab = jnp.einsum("bts,bsv->btv", attn, oh_vocab)
+        first = self.src_first_occurrence(src_ids)               # [B, S]
+        S = src_ids.shape[1]
+        oh_ext = (jax.nn.one_hot(first, S, dtype=jnp.float32)
+                  * (~in_vocab)[..., None])
+        copy_to_ext = jnp.einsum("bts,bse->bte", attn, oh_ext)
+        p = jnp.concatenate([(1.0 - p_copy) * p_vocab + p_copy * copy_to_vocab,
+                             p_copy * copy_to_ext], axis=-1)
+        lp = jnp.log(jnp.maximum(p, 1e-20))
+        return lp[:, 0] if squeeze else lp
+
+    def extended_copy_targets(self, tgt_ids, alignment, src_ids):
+        """Targets in the extended vocab for the forced-copy criterion
+        (CopyGeneratorCriterion semantics): where the gold token is UNK and
+        `alignment` names a source position, the target becomes
+        V + first_occurrence(position). alignment [B, T]: -1 = no copy."""
+        V = self.tgt_vocab_size
+        first = self.src_first_occurrence(src_ids)
+        pos = jnp.clip(alignment, 0, src_ids.shape[1] - 1)
+        ext = V + jnp.take_along_axis(first, pos, axis=1)
+        use = (tgt_ids == C.UNK) & (alignment >= 0)
+        return jnp.where(use, ext, tgt_ids)
+
+    def resolve_extended(self, seq):
+        """Split decoded extended-vocab ids: returns (tgt_seq, copy_pos)
+        where extended ids become UNK in tgt_seq and copy_pos holds the
+        source POSITION to copy the surface form from (-1 = normal token).
+        Exact replacement — supersedes the attention-argmax heuristic for
+        out-of-vocab copies."""
+        V = self.tgt_vocab_size
+        is_ext = seq >= V
+        return (jnp.where(is_ext, C.UNK, seq),
+                jnp.where(is_ext, seq - V, -1))
+
     def generator_logits(self, params, output):
         if self.share_decoder_embeddings:
             w = params["decoder"]["embeddings"]["word_lut"]
@@ -572,12 +652,18 @@ class NMTModel:
     # ---- batched beam translate ---------------------------------------------
     def translate_batch(self, params, src_ids, src_lengths, *,
                         beam_size: Optional[int] = None,
-                        n_best: int = 1, max_len: Optional[int] = None):
+                        n_best: int = 1, max_len: Optional[int] = None,
+                        src2tgt=None):
         """Beam-translate a batch (parity: translateBatch :322-395).
 
         Returns BeamResult with seq [B, beam, T] (BOS excluded, EOS included,
         PAD after) and aux = per-step source-attention argmax for
         UNK replacement (buildTargetTokens parity, :312-320).
+
+        With copy_attn and a `src2tgt` align map, the beam runs over the
+        EXTENDED dynamic vocab (copy_generator_extended_logprobs): decoded
+        ids >= tgt_vocab_size are exact copies of source positions — split
+        them with `resolve_extended`.
         """
         from ..ops.beam_search import beam_search
 
@@ -590,10 +676,17 @@ class NMTModel:
         src_mask = (jnp.arange(s)[None, :] < src_lengths[:, None]).astype(jnp.float32)
         ctx = {"context": context, "src_mask": src_mask}
         dec = self.decoder
+        extended = self.copy_attn and src2tgt is not None
+        if extended:
+            ctx["src_ids"] = src_ids  # expanded with beams (cheap ints)
+        src2tgt_c = None if src2tgt is None else jnp.asarray(src2tgt)
 
         def step_fn(p, c, state, it):
             out, attn, state = dec.step(p["decoder"], c["context"], state, it,
                                         src_mask=c["src_mask"])
+            if extended:
+                return self.copy_generator_extended_logprobs(
+                    p, out, state["copy_attn"], c["src_ids"], src2tgt_c), state
             logits = self.generator_logits(p, out)
             return jax.nn.log_softmax(logits, axis=-1), state
 

@@ -53,9 +53,11 @@ class StackCapModel(AttModel):
             "fusion2": linear_init(ks[6], 3 * h, h),
         }
 
-    def make_decoder(self, params, feats: Features, *, training=False, rng=None):
+    def make_decoder(self, params, feats: Features, *, training=False, rng=None,
+                     aux_out=None):
         r = _rngs(rng, 2)
-        ctx, state = super().make_decoder(params, feats, training=training, rng=r[0])
+        ctx, state = super().make_decoder(params, feats, training=training,
+                                          rng=r[0], aux_out=aux_out)
         attri = feats.attri_feats
         if attri is None:
             attri = jnp.zeros((feats.fc_feats.shape[0], self.attri_feat_size),
@@ -91,7 +93,8 @@ class StackCapModel(AttModel):
         return heads[-1], state  # decode path uses the final head (:244-249)
 
     def forward(self, params, feats: Features, seq, *, training: bool = False,
-                rng: Optional[jax.Array] = None, ss_prob: float = 0.0):
+                rng: Optional[jax.Array] = None, ss_prob: float = 0.0,
+                aux_out=None):
         """3-headed teacher forcing: returns a list of three [B, L-1, V+1]
         logprob tensors (coarse, fine, final) for the summed loss."""
         batch = seq.shape[0]
@@ -99,7 +102,8 @@ class StackCapModel(AttModel):
         if rng is None:
             rng = jax.random.PRNGKey(0)
         ctx_rng, dec_rng = jax.random.split(rng)
-        ctx, state0 = self.make_decoder(params, feats, training=training, rng=ctx_rng)
+        ctx, state0 = self.make_decoder(params, feats, training=training,
+                                        rng=ctx_rng, aux_out=aux_out)
         use_ss = training  # traced ss_prob: the coin flip handles 0 exactly
         vocab_p1 = self.vocab_size + 1
         init_lp = jnp.zeros((batch, vocab_p1), jnp.float32)

@@ -109,6 +109,13 @@ class Trainer:
         metrics = {}
         total = jnp.float32(0.0)
 
+        # BatchNorm momentum tracking: when the captioner has use_bn params,
+        # the teacher-forcing forward stashes detached batch moments here and
+        # the step blends them into the running stats (torch BatchNorm1d
+        # train-mode behavior, AttModel.py:79-84). Gate on the actual params
+        # so models with an unused use_bn field (transformer) are untouched.
+        bn_aux = ({} if isinstance(i2t_p, dict) and "bn0" in i2t_p else None)
+
         if self.i2t_model is not None and cfg.i2t_train_flag:
             feats = self._feats(batch)
             if rl:
@@ -132,7 +139,8 @@ class Trainer:
                 seq_full = jnp.concatenate(
                     [jnp.zeros((gen.shape[0], 1), gen.dtype), gen], axis=1)
                 out = self.i2t_model.forward(i2t_p, feats, seq_full,
-                                             training=True, rng=r3)
+                                             training=True, rng=r3,
+                                             aux_out=bn_aux)
                 if isinstance(out, list):
                     out = out[-1]  # stackcap: final head drives decoding
                 logps = jnp.take_along_axis(
@@ -142,7 +150,7 @@ class Trainer:
             else:
                 out = self.i2t_model.forward(i2t_p, feats, batch["labels"],
                                              training=True, rng=rng,
-                                             ss_prob=ss_prob)
+                                             ss_prob=ss_prob, aux_out=bn_aux)
                 i2t_l = language_model_loss(out, batch["labels"][:, 1:],
                                             batch["masks"][:, 1:])
             metrics["i2t_loss"] = i2t_l
@@ -196,6 +204,8 @@ class Trainer:
                 total = total + wemb_y
 
         metrics["total_loss"] = total
+        if bn_aux:
+            metrics["_bn_aux"] = bn_aux  # popped by the step before return
         return total, metrics
 
     def _build_step(self, rl: bool):
@@ -210,10 +220,14 @@ class Trainer:
 
             (_, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)((i2t_p, nmt_p))
+            bn_aux = metrics.pop("_bn_aux", None)
             g_i2t, g_nmt = grads
             if train_i2t:
                 up, i2t_opt = self.optim.i2t_tx.update(g_i2t, i2t_opt, i2t_p)
                 i2t_p = jax.tree.map(lambda p, u: p - lr_i2t * u, i2t_p, up)
+                if bn_aux:
+                    from ..models.att import apply_bn_updates
+                    i2t_p = apply_bn_updates(i2t_p, bn_aux)
             if train_nmt:
                 up, nmt_opt = self.optim.nmt_tx.update(g_nmt, nmt_opt, nmt_p)
                 nmt_p = jax.tree.map(lambda p, u: p - lr_nmt * u, nmt_p, up)
