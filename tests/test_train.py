@@ -234,3 +234,58 @@ def test_bn_running_stats_momentum(tmp_path, loader):
     assert float(jnp.abs(bn0["var"] - 1.0).max()) > 0.0
     # running stats stay finite and positive-variance
     assert bool(jnp.all(bn0["var"] > 0)) and bool(jnp.all(bn1["var"] > 0))
+
+
+def test_two_phase_xe_scst_recipe(tmp_path, capsys):
+    """train.sh recipe E2E through the CLI: XE phase, then the SCST phase
+    kicks in at --self_critical_after epochs (reference train.sh:25-46 /
+    train.py phase switch), with the CIDEr-D df cache produced by the
+    prepro_ngrams script; run is resumable from the final checkpoint."""
+    import os
+
+    from unpaired_image_captioning_tpu.cli import train as train_cli
+    from unpaired_image_captioning_tpu.data.synthetic import (
+        make_caption_artifacts)
+    from unpaired_image_captioning_tpu.scripts import prepro_ngrams
+
+    jpath, h5path, mem = make_caption_artifacts(str(tmp_path), vocab_size=VOCAB)
+    # features on disk (the CLI loads from dirs, reference dataloader.py:304)
+    fc_dir, att_dir = str(tmp_path / "fc"), str(tmp_path / "att")
+    os.makedirs(fc_dir), os.makedirs(att_dir)
+    for i, v in mem["fc"].items():
+        np.savez(os.path.join(fc_dir, f"{i}.npz"), feat=v)
+    for i, v in mem["att"].items():
+        np.savez(os.path.join(att_dir, f"{i}.npz"), feat=v)
+    ngrams = str(tmp_path / "ngrams.npz")
+    prepro_ngrams.main(["--input_label_h5", h5path, "--input_json", jpath,
+                        "--output", ngrams])
+
+    save = str(tmp_path / "run")
+    argv = ["--caption_model", "fc", "--input_json", jpath,
+            "--input_label_h5", h5path, "--input_fc_dir", fc_dir,
+            "--input_att_dir", att_dir, "--cached_tokens", ngrams,
+            "--i2t_train_flag", "true", "--batch_size", "4", "--seq_per_img", "2",
+            "--rnn_size", "24", "--input_encoding_size", "16",
+            "--att_hid_size", "12", "--fc_feat_size", "32",
+            "--att_feat_size", "24", "--num_layers", "1",
+            "--self_critical_after", "1", "--max_epochs", "2",
+            "--losses_log_every", "1", "--save_checkpoint_every", "1000",
+            "--checkpoint_path", save, "--id", "twophase"]
+    train_cli.main(argv)
+    out = capsys.readouterr().out
+    # XE phase logs i2t_loss without avg_reward; SCST phase logs avg_reward
+    xe_lines = [l for l in out.splitlines()
+                if "i2t_loss" in l and "avg_reward" not in l]
+    rl_lines = [l for l in out.splitlines() if "avg_reward" in l]
+    assert xe_lines, "no XE-phase iterations logged"
+    assert rl_lines, "SCST phase never started"
+    # the switch is clean: all RL iterations come after all XE iterations
+    first_rl = out.find("avg_reward")
+    assert "avg_reward" not in out[:first_rl]
+    assert os.path.exists(os.path.join(save, "infos.json")) or \
+        any(f.startswith("infos") for f in os.listdir(save))
+    # resumable: --start_from reloads and continues in the SCST phase
+    train_cli.main(argv + ["--start_from", save, "--max_epochs", "3"])
+    out2 = capsys.readouterr().out
+    assert "resumed from iter" in out2
+    assert "avg_reward" in out2

@@ -46,3 +46,36 @@ def test_incremental_matches_parallel(rng):
                 err_msg=f"b={b} t={t}")
             if seq[b, t] == 0:
                 break
+
+
+def test_beam_cross_kv_share_parity(rng):
+    """Beam decode with UNEXPANDED cross K/V (beams of one image share the
+    encoder memory, CROSS_KV_SHARE) must be token- and score-identical to
+    the expanded path."""
+    from unpaired_image_captioning_tpu.models import transformer as tmod
+
+    cfg = Config(caption_model="transformer", vocab_size=V, rnn_size=32,
+                 num_layers=2, input_encoding_size=16, att_hid_size=16,
+                 fc_feat_size=10, att_feat_size=12, seq_length=T,
+                 drop_prob_lm=0.0, num_heads=4)
+    model = models.setup(cfg)
+    params = model.init_params(rng)
+    ks = jax.random.split(rng, 3)
+    feats = Features(
+        fc_feats=jax.random.normal(ks[0], (B, 10)),
+        att_feats=jax.random.normal(ks[1], (B, N, 12)),
+        att_masks=jnp.ones((B, N)).at[0, 3:].set(0.0))
+
+    old = tmod.CROSS_KV_SHARE
+    try:
+        tmod.CROSS_KV_SHARE = False
+        assert model.beam_ctx_no_expand == ()
+        r_exp = model.sample_beam(params, feats, beam_size=5)
+        tmod.CROSS_KV_SHARE = True
+        assert model.beam_ctx_no_expand == ("cross", "src_mask")
+        r_shr = model.sample_beam(params, feats, beam_size=5)
+    finally:
+        tmod.CROSS_KV_SHARE = old
+    np.testing.assert_array_equal(np.asarray(r_exp.seq), np.asarray(r_shr.seq))
+    np.testing.assert_allclose(np.asarray(r_exp.scores),
+                               np.asarray(r_shr.scores), rtol=1e-5, atol=1e-5)
