@@ -170,3 +170,47 @@ def test_spice_standin():
     # UNION over references, as in SPICE proper)
     assert per[0] == max(per) and per[0] > 0.5
     assert 0 <= mean <= 1
+
+
+def test_meteor_synonym_paraphrase_stages(tmp_path):
+    """METEOR stages 3/4: synonym matches via shared synset groups,
+    paraphrase matches over multi-word spans; empty tables leave scores at
+    the exact+stem baseline; file loaders round-trip."""
+    from unpaired_image_captioning_tpu.eval.metrics.meteor import (
+        Meteor, build_paraphrase_table, build_synonym_groups,
+        load_paraphrases, load_synonyms, meteor_score)
+
+    refs = ["a large dog runs across the field"]
+    hyp_syn = "a big dog runs across the field"       # big ~ large
+    hyp_par = "a large dog runs across the meadow of grass"  # paraphrase
+
+    base_syn = meteor_score(hyp_syn, refs)
+    syn = build_synonym_groups([["big", "large", "huge"]])
+    assert meteor_score(hyp_syn, refs, synonyms=syn) > base_syn
+    # unrelated synsets do not match
+    syn2 = build_synonym_groups([["big", "huge"], ["large", "vast"]])
+    assert meteor_score(hyp_syn, refs, synonyms=syn2) == base_syn
+
+    base_par = meteor_score(hyp_par, refs)
+    par = build_paraphrase_table([("field", "meadow of grass")])
+    s_par = meteor_score(hyp_par, refs, paraphrases=par)
+    assert s_par > base_par
+    # symmetric: swapping hyp/ref phrase directions also matches
+    assert meteor_score("a large dog runs across the field",
+                        ["a large dog runs across the meadow of grass"],
+                        paraphrases=par) > base_par
+
+    # file loaders
+    sp = tmp_path / "syn.txt"
+    sp.write_text("big large huge\n")
+    pp = tmp_path / "par.tsv"
+    pp.write_text("field\tmeadow of grass\n")
+    m = Meteor(synonyms=load_synonyms(str(sp)),
+               paraphrases=load_paraphrases(str(pp)))
+    mean, scores = m.compute_score({0: refs}, {0: [hyp_syn]})
+    assert mean == scores[0] > base_syn
+
+    # perfect match still scores high and stays <= 1
+    s = meteor_score("a large dog runs across the field", refs,
+                     synonyms=syn, paraphrases=par)
+    assert 0.9 < s <= 1.0

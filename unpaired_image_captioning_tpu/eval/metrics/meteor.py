@@ -4,9 +4,13 @@ The reference shells out to the METEOR-1.5 Java jar through a persistent
 pipe (`coco-caption/pycocoevalcap/meteor/meteor.py:18-24`); the jar and its
 paraphrase tables are stripped from the repo (.MISSING_LARGE_BLOBS:3-5), so
 metric parity there is unobtainable by construction. This implementation
-follows the METEOR algorithm (Denkowski & Lavie 2014) with the `exact` and
-`stem` (porter-lite) matcher stages — the synonym/paraphrase stages require
-the missing WordNet/paraphrase data and are omitted:
+follows the METEOR algorithm (Denkowski & Lavie 2014) with all four matcher
+stages: `exact`, `stem` (porter-lite), `synonym`, and `paraphrase`. The
+synonym/paraphrase stages are data-driven — the jar's WordNet synsets and
+paraphrase-db are among the stripped blobs, so the tables default EMPTY
+(stages inert, exact+stem behavior) and activate when tables are supplied
+(Meteor(synonyms=..., paraphrases=...) or the load_* file readers, which
+accept the trivial text conversions of METEOR-1.5's data files):
 
   P = m/|hyp|, R = m/|ref|, F_mean = P*R/(alpha*P + (1-alpha)*R)
   penalty = gamma * (chunks/m)^beta;  score = F_mean * (1 - penalty)
@@ -42,8 +46,54 @@ def _light_stem(w: str) -> str:
     return w
 
 
-def _align(hyp: List[str], ref: List[str]) -> Tuple[int, int]:
-    """Greedy two-stage (exact, stem) alignment; returns (matches, chunks)."""
+def build_synonym_groups(groups) -> Dict[str, frozenset]:
+    """groups: iterable of synsets (iterables of words) -> word->group-ids.
+    Two words match in the synonym stage iff they share a group."""
+    table: Dict[str, set] = {}
+    for gid, words in enumerate(groups):
+        for w in words:
+            table.setdefault(w.lower(), set()).add(gid)
+    return {w: frozenset(g) for w, g in table.items()}
+
+
+def load_synonyms(path: str) -> Dict[str, frozenset]:
+    """One synset per line, space-separated words (the flattened form of
+    METEOR's data/synonym files)."""
+    with open(path, encoding="utf-8") as f:
+        return build_synonym_groups(line.split() for line in f if line.strip())
+
+
+def build_paraphrase_table(pairs) -> Dict[Tuple[str, ...], set]:
+    """pairs: iterable of (phrase_a, phrase_b) strings or token tuples.
+    Stored symmetrically: phrase -> set of equivalent phrases."""
+    table: Dict[Tuple[str, ...], set] = {}
+
+    def key(p):
+        return tuple(p.lower().split()) if isinstance(p, str) else tuple(p)
+
+    for a, b in pairs:
+        ka, kb = key(a), key(b)
+        table.setdefault(ka, set()).add(kb)
+        table.setdefault(kb, set()).add(ka)
+    return table
+
+
+def load_paraphrases(path: str) -> Dict[Tuple[str, ...], set]:
+    """TSV: phrase_a<TAB>phrase_b per line (the flattened form of the
+    METEOR paraphrase-db)."""
+    with open(path, encoding="utf-8") as f:
+        return build_paraphrase_table(
+            tuple(line.rstrip("\n").split("\t")[:2])
+            for line in f if "\t" in line)
+
+
+def _align(hyp: List[str], ref: List[str], synonyms=None, paraphrases=None
+           ) -> Tuple[int, int, int]:
+    """Greedy staged alignment (exact, stem, synonym, paraphrase).
+
+    Returns (m_h, m_r, chunks): words matched on the hypothesis/reference
+    side (they differ only for unequal-length paraphrase spans) and the
+    chunk count of the alignment."""
     used_ref = [False] * len(ref)
     match_of = [-1] * len(hyp)
     # stage 1: exact
@@ -64,7 +114,60 @@ def _align(hyp: List[str], ref: List[str]) -> Tuple[int, int]:
                 used_ref[j] = True
                 match_of[i] = j
                 break
-    m = sum(1 for j in match_of if j >= 0)
+    # stage 3: synonym (shared synset group)
+    if synonyms:
+        for i, w in enumerate(hyp):
+            if match_of[i] >= 0:
+                continue
+            gw = synonyms.get(w)
+            if not gw:
+                continue
+            for j, r in enumerate(ref):
+                if used_ref[j]:
+                    continue
+                gr = synonyms.get(r)
+                if gr and (gw & gr):
+                    used_ref[j] = True
+                    match_of[i] = j
+                    break
+    extra_h = extra_r = 0
+    extra_chunks = 0
+    # stage 4: paraphrase (multi-word spans over still-unmatched words;
+    # longest hypothesis span first, greedy like the word stages). Unlike
+    # the jar's joint beam search over alignments, spans containing words
+    # already claimed by an earlier stage are not reconsidered — table
+    # entries should therefore be minimal phrases.
+    if paraphrases:
+        max_len = max(len(k) for k in paraphrases)
+        used_hyp = [j >= 0 for j in match_of]
+        for n in range(min(max_len, len(hyp)), 0, -1):
+            for i in range(0, len(hyp) - n + 1):
+                if any(used_hyp[i: i + n]):
+                    continue
+                cands = paraphrases.get(tuple(hyp[i: i + n]))
+                if not cands:
+                    continue
+                hit = None
+                for m in range(min(max_len, len(ref)), 0, -1):
+                    for j in range(0, len(ref) - m + 1):
+                        if any(used_ref[j: j + m]):
+                            continue
+                        if tuple(ref[j: j + m]) in cands:
+                            hit = (j, m)
+                            break
+                    if hit:
+                        break
+                if hit:
+                    j, m = hit
+                    for k in range(i, i + n):
+                        used_hyp[k] = True
+                    for k in range(j, j + m):
+                        used_ref[k] = True
+                    # a phrase match is one contiguous chunk on both sides
+                    extra_h += n
+                    extra_r += m
+                    extra_chunks += 1
+    m_word = sum(1 for j in match_of if j >= 0)
     # chunk count: maximal runs of adjacent-in-both matches
     chunks = 0
     prev = None
@@ -75,24 +178,25 @@ def _align(hyp: List[str], ref: List[str]) -> Tuple[int, int]:
             prev = j
         else:
             prev = None
-    return m, chunks
+    return m_word + extra_h, m_word + extra_r, chunks + extra_chunks
 
 
-def meteor_score(hyp: str, refs: List[str]) -> float:
+def meteor_score(hyp: str, refs: List[str], synonyms=None,
+                 paraphrases=None) -> float:
     h = _norm(hyp)
     best = 0.0
     for ref in refs:
         r = _norm(ref)
         if not h or not r:
             continue
-        m, chunks = _align(h, r)
-        if m == 0:
+        m_h, m_r, chunks = _align(h, r, synonyms, paraphrases)
+        if m_h == 0 or m_r == 0:
             continue
-        p = m / len(h)
-        rec = m / len(r)
+        p = min(m_h / len(h), 1.0)
+        rec = min(m_r / len(r), 1.0)
         fmean = p * rec / (ALPHA * p + (1 - ALPHA) * rec)
-        frag = chunks / m
-        penalty = GAMMA * (frag ** BETA)
+        frag = chunks / ((m_h + m_r) / 2.0)
+        penalty = GAMMA * (min(frag, 1.0) ** BETA)
         best = max(best, fmean * (1.0 - penalty))
     return best
 
@@ -102,9 +206,17 @@ def _norm(s: str) -> List[str]:
 
 
 class Meteor:
+    def __init__(self, synonyms=None, paraphrases=None):
+        """synonyms: word->frozenset group-id table (build_synonym_groups /
+        load_synonyms) or None; paraphrases: phrase->set table
+        (build_paraphrase_table / load_paraphrases) or None."""
+        self.synonyms = synonyms
+        self.paraphrases = paraphrases
+
     def compute_score(self, gts: Dict, res: Dict) -> Tuple[float, List[float]]:
         ids = sorted(gts.keys())
-        scores = [meteor_score(res[i][0], gts[i]) for i in ids]
+        scores = [meteor_score(res[i][0], gts[i], self.synonyms,
+                               self.paraphrases) for i in ids]
         return sum(scores) / max(len(scores), 1), scores
 
     def method(self):
