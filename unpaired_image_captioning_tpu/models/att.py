@@ -272,10 +272,12 @@ class AttModel(CaptionDecoder):
     @property
     def beam_ctx_no_expand(self) -> tuple:
         # The unexpanded-memory path (("att", "p_att", "masks") — beams of
-        # one image share the attention memory) was A/B-measured ~5% SLOWER
-        # than expanded+fused at beam=3 on v5e (the K-unrolled kernel
-        # serializes VPU work); keep expansion by default. Revisit for
-        # large beams / box grids.
+        # one image share the attention memory) A/B on v5e (denseatt-512,
+        # 196 slots, batch 50, per-dispatch medians): beam=3 33.2 vs 33.3 ms
+        # (wash), beam=5 40.2 vs 37.2 ms (shared 7% SLOWER — the K-unrolled
+        # kernel serializes VPU work); keep expansion by default. The
+        # transformer family is the opposite (see transformer.py
+        # CROSS_KV_SHARE): its cross-K/V is larger and read by MXU einsums.
         return ()
 
     # ---- decode interface ----
