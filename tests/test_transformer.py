@@ -79,3 +79,43 @@ def test_beam_cross_kv_share_parity(rng):
     np.testing.assert_array_equal(np.asarray(r_exp.seq), np.asarray(r_shr.seq))
     np.testing.assert_allclose(np.asarray(r_exp.scores),
                                np.asarray(r_shr.scores), rtol=1e-5, atol=1e-5)
+
+
+def test_transformer_use_bn(rng, tmp_path):
+    """Transformer att_embed BatchNorm (use_bn/use_bn=2, reference
+    TransformerModel.py:321-326): params exist, trainer momentum-tracks the
+    running stats, and eval decode consumes them finitely."""
+    import math
+
+    from unpaired_image_captioning_tpu.data.dataloader import CaptionDataLoader
+    from unpaired_image_captioning_tpu.data.synthetic import (
+        make_caption_artifacts)
+    from unpaired_image_captioning_tpu.train.trainer import Trainer
+
+    jpath, h5path, mem = make_caption_artifacts(str(tmp_path), vocab_size=V)
+    loader = CaptionDataLoader(input_json=jpath, input_label_h5=h5path,
+                               batch_size=4, seq_per_img=2, att_feat_size=24,
+                               attri_feat_size=16, in_memory=mem,
+                               use_box_cls_prob=0)
+    cfg = Config(caption_model="transformer", use_bn=2, vocab_size=V,
+                 rnn_size=32, num_layers=2, input_encoding_size=16,
+                 att_hid_size=16, fc_feat_size=32, att_feat_size=24,
+                 seq_length=loader.seq_length, drop_prob_lm=0.1, num_heads=4,
+                 batch_size=4, seq_per_img=2, i2t_train_flag=True,
+                 i2t_learning_rate=1e-3,
+                 checkpoint_path=str(tmp_path / "save"))
+    tr = Trainer(cfg)
+    assert "bn0" in tr.i2t_params and "bn1" in tr.i2t_params
+    for _ in range(2):
+        m = tr.train(loader.get_batch("train"))
+    assert math.isfinite(m["i2t_loss"])
+    assert float(jnp.abs(tr.i2t_params["bn0"]["mean"]).max()) > 0
+    assert float(jnp.abs(tr.i2t_params["bn1"]["mean"]).max()) > 0
+
+    d = loader.get_batch("val")
+    feats = Features(fc_feats=jnp.asarray(d["fc_feats"]),
+                     att_feats=jnp.asarray(d["att_feats"]),
+                     att_masks=jnp.asarray(d["att_masks"]))
+    seq, logps = tr.i2t_model.sample(tr.i2t_params, feats,
+                                     jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(logps)).all()

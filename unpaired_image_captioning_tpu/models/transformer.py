@@ -159,13 +159,26 @@ class TransformerModel(CaptionDecoder):
         i = iter(range(len(ks)))
         p = {
             "att_embed": linear_init(ks[next(i)], self.att_feat_size, d),
+        }
+        # use_bn: BatchNorm around att_embed exactly like the LSTM family
+        # (reference TransformerModel.py:321-326 shares AttModel's
+        # Sequential(BN?, Linear, ReLU, Dropout, BN?) construction)
+        if self.use_bn:
+            p["bn0"] = {"scale": jnp.ones((self.att_feat_size,)),
+                        "offset": jnp.zeros((self.att_feat_size,)),
+                        "mean": jnp.zeros((self.att_feat_size,)),
+                        "var": jnp.ones((self.att_feat_size,))}
+        if self.use_bn == 2:
+            p["bn1"] = {"scale": jnp.ones((d,)), "offset": jnp.zeros((d,)),
+                        "mean": jnp.zeros((d,)), "var": jnp.ones((d,))}
+        p.update({
             "tgt_embed": jax.random.normal(ks[next(i)], (self.vocab_size + 1, d)) * (d ** -0.5),
             "generator": linear_init(ks[next(i)], d, self.vocab_size + 1),
             "enc_norm": layer_norm_init(d),
             "dec_norm": layer_norm_init(d),
             "enc": [],
             "dec": [],
-        }
+        })
         for _ in range(N):
             p["enc"].append({
                 "self": mha_init(ks[next(i)], d),
@@ -183,10 +196,21 @@ class TransformerModel(CaptionDecoder):
         return p
 
     # ---- encoder ----
-    def encode(self, params, feats: Features, *, training=False, rng=None):
+    def encode(self, params, feats: Features, *, training=False, rng=None,
+               aux_out=None):
+        from .att import _batch_norm
+
         r = _rngs(rng, 1 + 3 * self.num_layers)
-        x = dropout(r[0], jax.nn.relu(linear(params["att_embed"], feats.att_feats)),
+        att = feats.att_feats
+        if self.use_bn:
+            att = _batch_norm(params["bn0"], att, training,
+                              mask=feats.att_masks, aux_out=aux_out,
+                              key="bn0")
+        x = dropout(r[0], jax.nn.relu(linear(params["att_embed"], att)),
                     self.drop_prob_lm, training)
+        if self.use_bn == 2:
+            x = _batch_norm(params["bn1"], x, training,
+                            mask=feats.att_masks, aux_out=aux_out, key="bn1")
         src_mask = None
         if feats.att_masks is not None:
             src_mask = feats.att_masks[:, None, :] > 0  # [B, 1, N]
@@ -207,13 +231,15 @@ class TransformerModel(CaptionDecoder):
 
     # ---- parallel teacher forcing ----
     def forward(self, params, feats: Features, seq, *, training: bool = False,
-                rng: Optional[jax.Array] = None, ss_prob: float = 0.0):
+                rng: Optional[jax.Array] = None, ss_prob: float = 0.0,
+                aux_out=None):
         """Full parallel decode with causal+pad mask. ss_prob is accepted for
         interface parity but ignored (the reference transformer path never
         uses scheduled sampling either)."""
         del ss_prob
         r = _rngs(rng, 2 + 5 * self.num_layers)
-        memory, src_mask = self.encode(params, feats, training=training, rng=r[0])
+        memory, src_mask = self.encode(params, feats, training=training,
+                                       rng=r[0], aux_out=aux_out)
         seq_in = seq[:, :-1]
         b, t = seq_in.shape
         d = self.d_model

@@ -109,11 +109,11 @@ class Trainer:
         metrics = {}
         total = jnp.float32(0.0)
 
-        # BatchNorm momentum tracking: when the captioner has use_bn params,
-        # the teacher-forcing forward stashes detached batch moments here and
-        # the step blends them into the running stats (torch BatchNorm1d
-        # train-mode behavior, AttModel.py:79-84). Gate on the actual params
-        # so models with an unused use_bn field (transformer) are untouched.
+        # BatchNorm momentum tracking: when the captioner has use_bn params
+        # (LSTM-attention family and transformer alike), the teacher-forcing
+        # forward stashes detached batch moments here and the step blends
+        # them into the running stats (torch BatchNorm1d train-mode
+        # behavior, AttModel.py:79-84 / TransformerModel.py:321-326).
         bn_aux = ({} if isinstance(i2t_p, dict) and "bn0" in i2t_p else None)
 
         if self.i2t_model is not None and cfg.i2t_train_flag:
