@@ -120,3 +120,35 @@ def test_copy_extended_dynamic_vocab(rng):
     assert tgt_seq.max() < TGT_V
     assert ((copy_pos == -1) | (copy_pos < S)).all()
     assert (tgt_seq[copy_pos >= 0] == C.UNK).all()
+
+
+def test_pivot_with_copy_attn(rng):
+    """pivot_translate with a copy-attention NMT model: extended-vocab
+    decode, collapsed en ids, exact copy positions folded into the
+    replacement channel."""
+    from unpaired_image_captioning_tpu import pivot
+    from unpaired_image_captioning_tpu.models.fc import FCModel
+
+    cap_V = 15
+    cap = FCModel(vocab_size=cap_V, input_encoding_size=12, rnn_size=16,
+                  num_layers=1, drop_prob_lm=0.0, seq_length=6,
+                  fc_feat_size=10)
+    cp = cap.init_params(rng)
+    model = NMTModel(src_vocab_size=SRC_V, tgt_vocab_size=TGT_V,
+                     word_vec_size=16, rnn_size=24, layers=1, copy_attn=True,
+                     max_decode_len=8)
+    np_ = model.init_params(jax.random.fold_in(rng, 1))
+    cap2nmt = jnp.asarray(
+        np.r_[0, np.random.default_rng(0).integers(4, SRC_V, cap_V + 1)[1:]],
+        jnp.int32)
+    src2tgt = np.full((SRC_V,), C.PAD, np.int32)
+    src2tgt[5:15] = np.arange(5, 15)
+    feats = jax.random.normal(jax.random.fold_in(rng, 2), (3, 10))
+    from unpaired_image_captioning_tpu.models.base import Features
+    zh, en, aux = pivot.pivot_translate(
+        cap, cp, model, np_, Features(fc_feats=feats), cap2nmt,
+        cap_beam=2, nmt_beam=3, nmt_max_len=8,
+        src2tgt=jnp.asarray(src2tgt))
+    en = np.asarray(en)
+    assert en.max() < TGT_V  # extended ids collapsed
+    assert np.asarray(aux).min() >= 0

@@ -169,7 +169,10 @@ class TransformerNMTModel:
 
     def translate_batch(self, params, src_ids, src_lengths, *,
                         beam_size: Optional[int] = None, n_best: int = 1,
-                        max_len: Optional[int] = None):
+                        max_len: Optional[int] = None, src2tgt=None):
+        # src2tgt accepted for interface parity with NMTModel.translate_batch;
+        # the transformer NMT has no copy attention so it is ignored.
+        del src2tgt
         from ..ops.beam_search import beam_search
 
         beam_size = beam_size or self.beam_size

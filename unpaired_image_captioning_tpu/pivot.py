@@ -85,9 +85,16 @@ def captions_to_nmt_batch(cap_seqs: jax.Array, cap2nmt: jax.Array,
 
 def pivot_translate(cap_model, cap_params, nmt_model, nmt_params, feats,
                     cap2nmt: jax.Array, *, cap_beam: int = 5,
-                    nmt_beam: int = 15, nmt_max_len: int = 100):
+                    nmt_beam: int = 15, nmt_max_len: int = 100,
+                    src2tgt=None):
     """Image features → zh caption (beam) → en translation (beam), one
     on-device program. Returns (zh_seq [B, Tc], en_seq [B, Tn], en_attn_argmax).
+
+    src2tgt: optional Dict.align map; with a copy-attention NMT model the
+    translation beam then runs over the extended dynamic vocab (reference
+    nmt_translator's copy-scoring path, misc/nmt_translator.py:124-144) and
+    en_seq is returned already collapsed (extended ids -> UNK, with the copy
+    positions folded into the attn-argmax channel for surface replacement).
     """
     res = cap_model.sample_beam(cap_params, feats, beam_size=cap_beam)
     zh = res.seq[:, 0]                                     # top beam [B, Tc]
@@ -95,5 +102,10 @@ def pivot_translate(cap_model, cap_params, nmt_model, nmt_params, feats,
     lengths = jnp.maximum(jnp.sum(zh > 0, axis=-1), 1).astype(jnp.int32)
     # zero-out positions past the caption (cap2nmt[0] = PAD already)
     tr = nmt_model.translate_batch(nmt_params, src, lengths,
-                                   beam_size=nmt_beam, max_len=nmt_max_len)
-    return zh, tr.seq[:, 0], tr.aux[:, 0]
+                                   beam_size=nmt_beam, max_len=nmt_max_len,
+                                   src2tgt=src2tgt)
+    en, aux = tr.seq[:, 0], tr.aux[:, 0]
+    if src2tgt is not None and getattr(nmt_model, "copy_attn", False):
+        en, copy_pos = nmt_model.resolve_extended(en)
+        aux = jnp.where(copy_pos >= 0, copy_pos, aux)  # exact copies win
+    return zh, en, aux
