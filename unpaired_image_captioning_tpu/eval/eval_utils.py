@@ -226,10 +226,16 @@ def eval_split_coco_unpaired(cap_model, cap_params, nmt_model, nmt_params,
                              nmt_max_len: int = 100,
                              en_refs: Optional[Dict] = None,
                              zh_refs: Optional[Dict] = None,
-                             model_id: str = "pivot") -> dict:
+                             model_id: str = "pivot",
+                             src2tgt=None, replace_unk: bool = True) -> dict:
     """Pivot eval (parity: eval_utils.py:329-473): decode zh for COCO
     images, translate zh->en on device in the same program, post-edit,
-    score en vs COCO refs (and zh vs zh refs when given)."""
+    score en vs COCO refs (and zh vs zh refs when given).
+
+    replace_unk: substitute UNK output tokens with the source (zh) word at
+    the attention argmax — or the exact copy position when `src2tgt` is
+    given and the NMT model has copy attention (buildTargetTokens parity,
+    NMT_Models.py:312-320)."""
     import jax
     import jax.numpy as jnp
 
@@ -240,12 +246,14 @@ def eval_split_coco_unpaired(cap_model, cap_params, nmt_model, nmt_params,
     n_total = len(coco_loader.split_ix[split])
     budget = n_total if num_images <= 0 else min(num_images, n_total)
 
+    s2t = None if src2tgt is None else jnp.asarray(src2tgt)
+
     @jax.jit
     def pivot_fn(cap_params, nmt_params, feats):
         return pivot_translate(cap_model, cap_params, nmt_model, nmt_params,
                                feats, jnp.asarray(cap2nmt),
                                cap_beam=cap_beam, nmt_beam=nmt_beam,
-                               nmt_max_len=nmt_max_len)
+                               nmt_max_len=nmt_max_len, src2tgt=s2t)
 
     zh_preds, en_preds = [], []
     seen = set()
@@ -260,18 +268,30 @@ def eval_split_coco_unpaired(cap_model, cap_params, nmt_model, nmt_params,
             attri_feats=jnp.asarray(data["attri_feats"][first]),
             att_masks=jnp.asarray(data["att_masks"][first]))
         zh, en, attn = pivot_fn(cap_params, nmt_params, feats)
-        zh_caps = decode_sequence(coco_loader.vocab.ix_to_word, np.asarray(zh))
+        zh_np = np.asarray(zh)
+        zh_caps = decode_sequence(coco_loader.vocab.ix_to_word, zh_np)
         en_np = np.asarray(en)
+        attn_np = np.asarray(attn)
+        itow = coco_loader.vocab.ix_to_word
         for bi, info in enumerate(data["infos"]):
             if info["id"] in seen:
                 continue
             seen.add(info["id"])
             words = []
-            for tok in en_np[bi]:
+            for t, tok in enumerate(en_np[bi]):
                 tok = int(tok)
                 if tok in (C.PAD, C.EOS):
                     break
-                if tok != C.BOS:
+                if tok == C.BOS:
+                    continue
+                if tok == C.UNK and replace_unk:
+                    # UNK -> source (zh) word at the copy/attention position
+                    # (src position j maps back to zh caption slot j)
+                    j = int(attn_np[bi, t])
+                    src_tok = int(zh_np[bi, j]) if j < zh_np.shape[1] else 0
+                    words.append(itow.get(str(src_tok),
+                                          itow.get(src_tok, C.UNK_WORD)))
+                else:
                     words.append(nmt_tgt_itos.get(tok, C.UNK_WORD))
             en_cap = expand_contractions(" ".join(words))
             zh_preds.append({"image_id": info["id"], "caption": zh_caps[bi]})
