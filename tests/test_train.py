@@ -289,3 +289,17 @@ def test_two_phase_xe_scst_recipe(tmp_path, capsys):
     out2 = capsys.readouterr().out
     assert "resumed from iter" in out2
     assert "avg_reward" in out2
+
+
+def test_scst_with_bn_tracking(tmp_path, loader):
+    """SCST branch also momentum-tracks BN stats (via the teacher-forcing
+    logprob recompute) and trains finitely with use_bn=2."""
+    import jax.numpy as jnp
+
+    cfg = make_cfg(caption_model="topdown", use_bn=2, nmt_train_flag=False,
+                   checkpoint_path=str(tmp_path / "save"))
+    tr = Trainer(cfg)
+    m = tr.train(loader.get_batch("train"), sc_flag=True)
+    assert math.isfinite(m["i2t_loss"]) and "avg_reward" in m
+    assert float(jnp.abs(tr.i2t_params["bn0"]["mean"]).max()) > 0
+    assert float(jnp.abs(tr.i2t_params["bn1"]["mean"]).max()) > 0
