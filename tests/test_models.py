@@ -109,6 +109,29 @@ def test_greedy_matches_beam1_fc(rng):
     np.testing.assert_array_equal(np.asarray(gen), np.asarray(res.seq[:, 0]))
 
 
+@pytest.mark.parametrize("name", ["fc", "stackcap"])
+def test_scheduled_sampling_never_replaces_bos(rng, name):
+    """The ss coin must be skipped at t=0 (reference AttModel.py:130 gates on
+    i >= 1): with dropout off, the step-0 logprobs under ss_prob=1.0 must be
+    identical to teacher forcing, since the BOS input is never replaced."""
+    cfg = dataclasses.replace(tiny_cfg(name), drop_prob_lm=0.0)
+    model = models.setup(cfg)
+    params = model.init_params(rng)
+    feats = make_feats(rng)
+    seq = make_seq(jax.random.fold_in(rng, 1))
+    frng = jax.random.fold_in(rng, 2)
+    out0 = model.forward(params, feats, seq, training=True, rng=frng,
+                         ss_prob=0.0)
+    out1 = model.forward(params, feats, seq, training=True, rng=frng,
+                         ss_prob=1.0)
+    if isinstance(out0, list):  # stackcap multi-head
+        out0, out1 = out0[-1], out1[-1]
+    np.testing.assert_allclose(np.asarray(out0[:, 0]), np.asarray(out1[:, 0]),
+                               atol=1e-6)
+    # ...and later steps DO diverge under ss_prob=1.0
+    assert not np.allclose(np.asarray(out0[:, 1:]), np.asarray(out1[:, 1:]))
+
+
 def test_forward_deterministic_eval(rng):
     cfg = tiny_cfg("topdown")
     model = models.setup(cfg)

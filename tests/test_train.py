@@ -60,6 +60,17 @@ def test_get_batch_shapes(loader):
                                   np.minimum(lens + 2, L + 2))
 
 
+def test_att_padding_bucketed(loader):
+    """att_feats pad to a power-of-two bucket (capped at max_att_len), not
+    the raw per-batch max — stable jit shapes under variable grids."""
+    data = loader.get_batch("train")
+    n = data["att_feats"].shape[1]
+    assert n == data["att_masks"].shape[1]
+    assert (n & (n - 1)) == 0 or n == loader.max_att_len, n
+    lens = data["att_masks"].sum(1)
+    assert lens.max() <= n
+
+
 def test_iterator_resume(loader):
     for _ in range(2):
         loader.get_batch("train")
@@ -291,15 +302,77 @@ def test_two_phase_xe_scst_recipe(tmp_path, capsys):
     assert "avg_reward" in out2
 
 
-def test_scst_with_bn_tracking(tmp_path, loader):
-    """SCST branch also momentum-tracks BN stats (via the teacher-forcing
-    logprob recompute) and trains finitely with use_bn=2."""
+def test_scst_with_bn_frozen_stats(tmp_path, loader):
+    """SCST trains finitely with use_bn=2, and BN running stats stay FROZEN
+    during RL: the whole SCST step (sampling, greedy baseline, logprob
+    recompute) runs eval-mode so the differentiated distribution equals the
+    sampled one (ADVICE r1; the XE phase owns stat tracking)."""
     import jax.numpy as jnp
 
     cfg = make_cfg(caption_model="topdown", use_bn=2, nmt_train_flag=False,
                    checkpoint_path=str(tmp_path / "save"))
     tr = Trainer(cfg)
+    # one XE step populates running stats (momentum tracking)
+    tr.train(loader.get_batch("train"))
+    bn0_mean = np.asarray(tr.i2t_params["bn0"]["mean"]).copy()
+    assert np.abs(bn0_mean).max() > 0
     m = tr.train(loader.get_batch("train"), sc_flag=True)
     assert math.isfinite(m["i2t_loss"]) and "avg_reward" in m
-    assert float(jnp.abs(tr.i2t_params["bn0"]["mean"]).max()) > 0
-    assert float(jnp.abs(tr.i2t_params["bn1"]["mean"]).max()) > 0
+    np.testing.assert_array_equal(np.asarray(tr.i2t_params["bn0"]["mean"]),
+                                  bn0_mean)
+
+
+def test_scst_recompute_gradient_exact(tmp_path, loader):
+    """The SCST teacher-forcing logprob recompute must give EXACTLY the
+    gradient of differentiating the sampling pass itself: both run without
+    dropout, so replaying the decode step-by-step under grad and the scan
+    recompute are the same function of params (VERDICT r1 "Next" #8a)."""
+    import jax
+    import jax.numpy as jnp
+
+    from unpaired_image_captioning_tpu import models
+    from unpaired_image_captioning_tpu.losses.criterion import reward_loss
+    from unpaired_image_captioning_tpu.models.base import Features
+
+    cfg = make_cfg(caption_model="topdown", nmt_train_flag=False,
+                   checkpoint_path=str(tmp_path / "save")).finalize()
+    model = models.setup(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    data = loader.get_batch("train")
+    feats = Features(fc_feats=jnp.asarray(data["fc_feats"]),
+                     att_feats=jnp.asarray(data["att_feats"]),
+                     attri_feats=jnp.asarray(data["attri_feats"]),
+                     att_masks=jnp.asarray(data["att_masks"]))
+    gen, _ = model.sample(params, feats, jax.random.PRNGKey(1), greedy=False)
+    gen = jax.lax.stop_gradient(gen)
+    adv = jnp.linspace(-1.0, 1.0, gen.shape[0])[:, None] * jnp.ones_like(
+        gen, jnp.float32)
+
+    def loss_recompute(p):
+        seq_full = jnp.concatenate(
+            [jnp.zeros((gen.shape[0], 1), gen.dtype), gen], axis=1)
+        out = model.forward(p, feats, seq_full, training=False)
+        lp = jnp.take_along_axis(out, gen[..., None].astype(jnp.int32),
+                                 axis=-1)[..., 0]
+        return reward_loss(lp, gen, adv)
+
+    def loss_stepwise(p):
+        ctx, state = model.make_decoder(p, feats, training=False)
+        it = jnp.zeros((gen.shape[0],), gen.dtype)
+        lps = []
+        for t in range(gen.shape[1]):
+            logprobs, state = model.step(p, ctx, state, it, training=False)
+            tok = gen[:, t]
+            lps.append(jnp.take_along_axis(
+                logprobs, tok[:, None].astype(jnp.int32), axis=-1)[:, 0])
+            it = tok
+        return reward_loss(jnp.stack(lps, axis=1), gen, adv)
+
+    la, ga = jax.value_and_grad(loss_recompute)(params)
+    lb, gb = jax.value_and_grad(loss_stepwise)(params)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    flat_a, _ = jax.flatten_util.ravel_pytree(ga)
+    flat_b, _ = jax.flatten_util.ravel_pytree(gb)
+    np.testing.assert_allclose(np.asarray(flat_a), np.asarray(flat_b),
+                               atol=1e-5, rtol=1e-4)
+    assert float(jnp.abs(flat_a).max()) > 0

@@ -119,3 +119,43 @@ def test_transformer_use_bn(rng, tmp_path):
     seq, logps = tr.i2t_model.sample(tr.i2t_params, feats,
                                      jax.random.PRNGKey(0))
     assert np.isfinite(np.asarray(logps)).all()
+
+
+def test_step_per_row_positions(rng):
+    """Rows of one batch may sit at DIFFERENT decode positions (diverse beam
+    groups are time-staggered): stepping a combined state whose rows carry
+    t=[2,1] must equal stepping each row separately (ADVICE r1 — the old
+    code read row 0's t for every row)."""
+    cfg = Config(caption_model="transformer", vocab_size=V, rnn_size=32,
+                 num_layers=2, input_encoding_size=16, att_hid_size=16,
+                 fc_feat_size=10, att_feat_size=12, seq_length=T,
+                 drop_prob_lm=0.0, num_heads=4)
+    model = models.setup(cfg)
+    params = model.init_params(rng)
+    ks = jax.random.split(rng, 3)
+    feats = Features(
+        fc_feats=jax.random.normal(ks[0], (2, 10)),
+        att_feats=jax.random.normal(ks[1], (2, N, 12)),
+        att_masks=jnp.ones((2, N)))
+    ctx, state = model.make_decoder(params, feats, training=False)
+
+    def row(tree, i):
+        return jax.tree.map(lambda x: x[i:i + 1], tree)
+
+    # advance row 0 two steps, row 1 one step (different token histories)
+    c0, s0 = row(ctx, 0), row(state, 0)
+    for tok in (3, 5):
+        _, s0 = model.step(params, c0, s0, jnp.asarray([tok]), training=False)
+    c1, s1 = row(ctx, 1), row(state, 1)
+    _, s1 = model.step(params, c1, s1, jnp.asarray([7]), training=False)
+
+    combined = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), s0, s1)
+    assert np.asarray(combined["t"]).tolist() == [2, 1]
+    lp_comb, _ = model.step(params, ctx, combined, jnp.asarray([9, 11]),
+                            training=False)
+    lp0, _ = model.step(params, c0, s0, jnp.asarray([9]), training=False)
+    lp1, _ = model.step(params, c1, s1, jnp.asarray([11]), training=False)
+    np.testing.assert_allclose(np.asarray(lp_comb[0]), np.asarray(lp0[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lp_comb[1]), np.asarray(lp1[0]),
+                               atol=1e-5)

@@ -18,7 +18,8 @@ Parity: reference `misc/dataloader/dataloader.py:24-299` (AIC) and
   (dataloader.py:291) when an NMT dataset is attached;
 - iterator state save/restore for mid-epoch resume (train.py:49-51).
 
-Differences: fixed shapes (att grid padded to a static max), gts as padded
+Differences: shape-stable batches (att grid padded to a power-of-two bucket
+capped at max_att_len, so variable grids compile O(log) programs), gts as padded
 tensors (device SCST) instead of ragged lists, thread prefetch instead of
 worker processes.
 """
@@ -246,7 +247,16 @@ class CaptionDataLoader:
             gts_list.append(g)
             gts_mask_list.append(gm)
 
+        # Shape-stable padding: round the batch max up to a power-of-two
+        # bucket (capped at the static max_att_len) so variable-size feature
+        # grids (adaptive bottom-up boxes) produce at most log2(max_att_len)
+        # distinct batch shapes — not one fresh jit compile per distinct
+        # per-batch max (ADVICE r1). Fixed 14x14 grids still get one shape.
         max_att = max(max(att_lens), 1)
+        bucket = 1
+        while bucket < max_att:
+            bucket *= 2
+        max_att = min(bucket, self.max_att_len)
         att_dim = (self.att_feat_size + (5 if self.use_box else 0))
         att_feats = np.zeros((bs, max_att, att_dim), np.float32)
         att_masks = np.zeros((bs, max_att), np.float32)

@@ -150,10 +150,14 @@ class CaptionDecoder:
 
         def body(carry, inp):
             state, prev_logprobs = carry
-            tok, step_rng = inp
+            tok, step_rng, t = inp
             if use_ss:
                 r1, r2, r3 = jax.random.split(step_rng, 3)
-                coin = jax.random.uniform(r1, (batch,)) < ss_prob
+                # never replace the t=0 (BOS) input: the reference gates the
+                # coin on i >= 1 (AttModel.py:130); at t=0 prev_logprobs is
+                # uninformative zeros and sampling from it would feed a
+                # uniform-random token instead of BOS.
+                coin = (jax.random.uniform(r1, (batch,)) < ss_prob) & (t > 0)
                 sampled = jax.random.categorical(r2, prev_logprobs, axis=-1).astype(tok.dtype)
                 it = jnp.where(coin, sampled, tok)
                 sub_rng = r3
@@ -167,7 +171,8 @@ class CaptionDecoder:
         step_rngs = jax.random.split(dec_rng, n_steps)
         tokens_tm = seq[:, :-1].T  # time-major inputs: seq[:, 0..L-2]
         (_, _), out = jax.lax.scan(body, (state0, init_logprobs),
-                                   (tokens_tm, step_rngs))
+                                   (tokens_tm, step_rngs,
+                                    jnp.arange(n_steps)))
         return jnp.transpose(out, (1, 0, 2))  # [B, L-1, V+1]
 
     def sample(self, params, feats: Features, rng, *, greedy: bool = True,

@@ -356,7 +356,7 @@ class NMTDecoder:
         Returns (output [B, rnn], attn [B, S], new state)."""
         r = _rngs(rng, 3)
         if pos is None:
-            pos = state["t"][0]
+            pos = state["t"]  # per-row position (rows may be time-staggered)
         emb = embed_tokens(params["embeddings"], it,
                            position_encoding=self.position_encoding,
                            pos_offset=pos, dropout=self.dropout,

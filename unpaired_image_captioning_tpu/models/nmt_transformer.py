@@ -192,7 +192,8 @@ class TransformerNMTModel:
         }
 
         def step_fn(p, c, state, it):
-            t = state["t"][0]
+            t = state["t"]  # [B] per-row position (ADVICE r1: rows may be
+            # time-staggered under grouped beam search)
             x = (p["tgt_embed"][it] * math.sqrt(d)
                  + positional_encoding(T, d)[t].astype(memory.dtype))[:, None, :]
             new_k, new_v = state["k"], state["v"]
@@ -201,14 +202,13 @@ class TransformerNMTModel:
             kbeams = bsz // bm  # cross K/V unexpanded: read once per sentence
             nh = self.num_heads
             dh = d // nh
-            pos_ok = jnp.broadcast_to((jnp.arange(T) <= t)[None, None, :],
-                                      (bsz, 1, T))
+            pos_ok = (jnp.arange(T)[None, :] <= t[:, None])[:, None, :]
             attn_out = state["attn"]
             for li, lp in enumerate(p["dec"]):
                 y = layer_norm(lp["n1"], x)
                 k_t = linear(lp["self"]["k"], y)[:, 0]
                 v_t = linear(lp["self"]["v"], y)[:, 0]
-                write = (jnp.arange(T) == t)[None, :, None]
+                write = (jnp.arange(T)[None, :] == t[:, None])[:, :, None]
                 new_k = new_k.at[:, li].set(
                     jnp.where(write, k_t[:, None, :], new_k[:, li]))
                 new_v = new_v.at[:, li].set(

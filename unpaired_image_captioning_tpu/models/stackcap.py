@@ -110,10 +110,12 @@ class StackCapModel(AttModel):
 
         def body(carry, inp):
             state, prev_lp = carry
-            tok, step_rng = inp
+            tok, step_rng, t = inp
             if use_ss:
                 r1, r2, r3 = jax.random.split(step_rng, 3)
-                coin = jax.random.uniform(r1, (batch,)) < ss_prob
+                # t=0 (BOS) is never replaced — reference gates on i >= 1
+                # (AttModel.py:130); prev_lp at t=0 is uninformative zeros.
+                coin = (jax.random.uniform(r1, (batch,)) < ss_prob) & (t > 0)
                 sampled = jax.random.categorical(r2, prev_lp, axis=-1).astype(tok.dtype)
                 it = jnp.where(coin, sampled, tok)
                 sub = r3
@@ -131,7 +133,8 @@ class StackCapModel(AttModel):
 
         step_rngs = jax.random.split(dec_rng, n_steps)
         (_, _), out = jax.lax.scan(body, (state0, init_lp),
-                                   (seq[:, :-1].T, step_rngs))
+                                   (seq[:, :-1].T, step_rngs,
+                                    jnp.arange(n_steps)))
         return [jnp.transpose(o, (1, 0, 2)) for o in out]
 
 

@@ -296,17 +296,21 @@ class TransformerModel(CaptionDecoder):
         d = self.d_model
         T = self.seq_length
         b = it.shape[0]
-        t = state["t"][0]  # all rows share the position
+        # per-row position: under diverse beam search (group_size > 1) groups
+        # are time-staggered, so each row carries its own t (ADVICE r1 —
+        # row 0's t would give groups g > 0 the wrong positional encoding
+        # and K/V write slot)
+        t = state["t"]  # [B]
         x = params["tgt_embed"][it] * math.sqrt(d)
         x = x + positional_encoding(T, d)[t].astype(x.dtype)
         x = x[:, None, :]  # [B, 1, d]
         new_k, new_v = state["k"], state["v"]
-        pos_ok = (jnp.arange(T) <= t)[None, None, :]  # [1, 1, T]
+        pos_ok = (jnp.arange(T)[None, :] <= t[:, None])[:, None, :]  # [B,1,T]
         for li, lp in enumerate(params["dec"]):
             y = layer_norm(lp["n1"], x)
             k_t = linear(lp["self"]["k"], y)[:, 0]
             v_t = linear(lp["self"]["v"], y)[:, 0]
-            write = (jnp.arange(T) == t)[None, :, None]
+            write = (jnp.arange(T)[None, :] == t[:, None])[:, :, None]
             new_k = new_k.at[:, li].set(jnp.where(write, k_t[:, None, :], new_k[:, li]))
             new_v = new_v.at[:, li].set(jnp.where(write, v_t[:, None, :], new_v[:, li]))
             x = x + mha_apply(lp["self"], y, new_k[:, li], new_v[:, li],

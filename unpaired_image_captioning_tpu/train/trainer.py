@@ -121,11 +121,18 @@ class Trainer:
             if rl:
                 # SCST: sample + greedy baseline WITHOUT grad (decode uses an
                 # early-exit while_loop), then recompute the sampled tokens'
-                # logprobs by teacher-forcing the sampled sequence — the
-                # gradient is identical to differentiating through sampling
-                # (reference rewards.py semantics) but the backward is one
-                # parallel/scan forward instead of the decode loop.
-                r1, r2, r3 = jax.random.split(rng, 3)
+                # logprobs by teacher-forcing the sampled sequence. Both the
+                # sampling pass (sample() decodes with training=False) and
+                # the recompute run WITHOUT dropout, so the differentiated
+                # distribution is exactly the one sampled from and the
+                # gradient equals differentiating through the sampling pass
+                # (tests/test_train.py::test_scst_recompute_gradient_exact).
+                # The reference samples in train mode and backprops those
+                # logprobs (rewards.py); matching sampled/differentiated
+                # distributions is the invariant that matters — a dropout-on
+                # recompute under a fresh rng would differentiate a
+                # DIFFERENT distribution than the one sampled (ADVICE r1).
+                r1, r2 = jax.random.split(rng)
                 frozen = jax.lax.stop_gradient(i2t_p)
                 gen, _ = self.i2t_model.sample(frozen, feats, r1, greedy=False)
                 greedy, _ = self.i2t_model.sample(frozen, feats, r2,
@@ -139,8 +146,7 @@ class Trainer:
                 seq_full = jnp.concatenate(
                     [jnp.zeros((gen.shape[0], 1), gen.dtype), gen], axis=1)
                 out = self.i2t_model.forward(i2t_p, feats, seq_full,
-                                             training=True, rng=r3,
-                                             aux_out=bn_aux)
+                                             training=False)
                 if isinstance(out, list):
                     out = out[-1]  # stackcap: final head drives decoding
                 logps = jnp.take_along_axis(
