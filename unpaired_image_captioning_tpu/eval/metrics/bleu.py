@@ -4,10 +4,13 @@ Behavioral parity with `coco-caption/pycocoevalcap/bleu/bleu_scorer.py`
 (Chin-Yew Lin's "closest reference length" corpus BLEU with the COCO
 `option='closest'` and the small-ratio smoothing on per-image scores):
 
-- corpus level: clipped n-gram precision p_n = Σ_i clip_i / Σ_i count_i,
-  brevity penalty from Σ closest-ref-lengths, score_n = BP · (Π p_k)^(1/n);
-- per-image scores use +1 smoothing on numerator/denominator for n >= 2
-  (the `small` constant path), matching the `ratio` trick in the COCO code.
+- corpus level: clipped n-gram precision with the reference's exact
+  `(correct + tiny) / (guess + small)` arithmetic, brevity penalty applied
+  when Σ testlen < Σ closest-ref-len (bleu_scorer.py:248-256);
+- per-image scores use the same tiny/small-smoothed running product and the
+  per-sentence ratio penalty (bleu_scorer.py:230-239).
+Value-identical to the reference scorer (1e-9):
+tests/test_metric_value_parity.py.
 
 Also exposes `sentence_bleu` (used by SelfBleu, misc/cal_self_bleu.py) and
 `corpus_bleu` in multi-bleu.perl style (used by the NMT eval wrapper,
@@ -51,50 +54,57 @@ class Bleu:
     def compute_score(self, gts: Dict, res: Dict) -> Tuple[List[float], List[List[float]]]:
         assert sorted(gts.keys()) == sorted(res.keys())
         ids = sorted(gts.keys())
-        small = 1e-9
+        n = self.n
+        small = 1e-9   # bleu_scorer.py:200-201
         tiny = 1e-15
 
-        totals = [[0, 0] for _ in range(self.n)]  # clipped, total per n
-        hyp_len_sum = 0
-        ref_len_sum = 0
-        per_image: List[List[float]] = [[] for _ in range(self.n)]
+        tot_guess = [0] * n
+        tot_correct = [0] * n
+        tot_testlen = 0
+        tot_reflen = 0
+        per_image: List[List[float]] = [[] for _ in range(n)]
 
-        stats = []
         for iid in ids:
             hyp = res[iid][0].split()
             refs = [r.split() for r in gts[iid]]
-            row = []
-            for k in range(self.n):
-                c, t = _clip_counts(hyp, refs, k + 1)
-                totals[k][0] += c
-                totals[k][1] += t
-                row.append((c, t))
-            hl = len(hyp)
-            rl = _closest_ref_len(hl, [len(r) for r in refs])
-            hyp_len_sum += hl
-            ref_len_sum += rl
-            stats.append((row, hl, rl))
+            testlen = len(hyp)
+            # guess[k] = number of (k+1)-gram slots (bleu_scorer.py:77)
+            guess = [max(0, testlen - k) for k in range(n)]
+            maxcounts: Counter = Counter()
+            for ref in refs:
+                for k in range(n):
+                    for ng, v in _ngrams(ref, k + 1).items():
+                        if v > maxcounts[ng]:
+                            maxcounts[ng] = v
+            correct = [0] * n
+            for k in range(n):
+                for ng, c in _ngrams(hyp, k + 1).items():
+                    correct[k] += min(maxcounts.get(ng, 0), c)
+            reflen = _closest_ref_len(testlen, [len(r) for r in refs])
+            tot_testlen += testlen
+            tot_reflen += reflen
+            # per-image running product (bleu_scorer.py:230-239)
+            bleu = 1.0
+            for k in range(n):
+                tot_guess[k] += guess[k]
+                tot_correct[k] += correct[k]
+                bleu *= (correct[k] + tiny) / (guess[k] + small)
+                per_image[k].append(bleu ** (1.0 / (k + 1)))
+            ratio = (testlen + tiny) / (reflen + small)
+            if ratio < 1:
+                for k in range(n):
+                    per_image[k][-1] *= math.exp(1 - 1 / ratio)
 
-        # per-image scores (+1 smoothing for n>=2, COCO bleu_scorer ratio trick)
-        for row, hl, rl in stats:
-            ratio = hl / (rl + tiny)
-            bp = 1.0 if ratio > 1.0 else math.exp(1 - 1 / (ratio + tiny))
-            logsum = 0.0
-            for k, (c, t) in enumerate(row):
-                add = 1 if k >= 1 else 0
-                p = (c + add) / (t + add + tiny) if (t + add) > 0 else 0.0
-                logsum += math.log(max(p, tiny))
-                per_image[k].append(math.exp(logsum / (k + 1)) * bp)
-
-        ratio = hyp_len_sum / (ref_len_sum + tiny)
-        bp = 1.0 if ratio > 1.0 else math.exp(1 - 1 / (ratio + tiny))
+        # corpus score (bleu_scorer.py:247-256)
         scores = []
-        logsum = 0.0
-        for k in range(self.n):
-            c, t = totals[k]
-            p = c / (t + tiny) if t > 0 else 0.0
-            logsum += math.log(max(p, tiny))
-            scores.append(math.exp(logsum / (k + 1)) * bp)
+        bleu = 1.0
+        for k in range(n):
+            bleu *= (tot_correct[k] + tiny) / (tot_guess[k] + small)
+            scores.append(bleu ** (1.0 / (k + 1)))
+        ratio = (tot_testlen + tiny) / (tot_reflen + small)
+        if ratio < 1:
+            for k in range(n):
+                scores[k] *= math.exp(1 - 1 / ratio)
         return scores, per_image
 
     def method(self):

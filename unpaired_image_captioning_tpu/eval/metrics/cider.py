@@ -108,13 +108,15 @@ class CiderD(CiderBase):
 
 
 class Cider(CiderBase):
-    """Plain CIDEr (coco-caption eval stack variant): no tf clipping, no
-    length penalty."""
-
-    LENGTH_PENALTY = False
+    """CIDEr as the coco-caption eval stack computes it. The vendored
+    cider_scorer.py carries the same "vrama91" amendments as CIDEr-D —
+    tf clipping (cider_scorer.py:151) AND the gaussian length penalty
+    (:158) — so the corpus-df scoring math is IDENTICAL to CiderD; only the
+    df source differs (CiderD can take a precomputed table). Value parity
+    vs the reference scorer: tests/test_metric_value_parity.py."""
 
     def compute_score(self, gts: Dict, res: Dict) -> Tuple[float, List[float]]:
-        return self._score(gts, res, clip_tf=False)
+        return self._score(gts, res, clip_tf=True)
 
     def method(self):
         return "CIDEr"

@@ -1,7 +1,9 @@
 """ROUGE-L scorer.
 
-Behavioral parity with `coco-caption/pycocoevalcap/rouge/rouge.py`:
-LCS-based F-measure with beta=1.2, per image the max over references.
+Value parity with `coco-caption/pycocoevalcap/rouge/rouge.py` (verified to
+1e-9 in tests/test_metric_value_parity.py): LCS-based F with beta=1.2 where
+precision and recall are EACH maximized independently over the references
+(rouge.py:68-69) before combining — not max-F-per-reference.
 """
 
 from __future__ import annotations
@@ -27,20 +29,20 @@ class Rouge:
         self.beta = beta
 
     def calc_score(self, candidate: List[str], refs: List[str]) -> float:
-        hyp = candidate[0].split()
-        best = 0.0
+        # split(" ") (not split()) so the empty string counts 1 token,
+        # exactly like the reference (rouge.py:57-65)
+        hyp = candidate[0].split(" ")
+        prec, rec = [], []
         for ref in refs:
-            r = ref.split()
+            r = ref.split(" ")
             lcs = _lcs_len(hyp, r)
-            prec = lcs / len(hyp) if hyp else 0.0
-            rec = lcs / len(r) if r else 0.0
-            if prec != 0 and rec != 0:
-                score = ((1 + self.beta ** 2) * prec * rec
-                         / (rec + self.beta ** 2 * prec))
-            else:
-                score = 0.0
-            best = max(best, score)
-        return best
+            prec.append(lcs / float(len(hyp)))
+            rec.append(lcs / float(len(r)))
+        prec_max, rec_max = max(prec), max(rec)
+        if prec_max != 0 and rec_max != 0:
+            return ((1 + self.beta ** 2) * prec_max * rec_max
+                    / float(rec_max + self.beta ** 2 * prec_max))
+        return 0.0
 
     def compute_score(self, gts: Dict, res: Dict) -> Tuple[float, List[float]]:
         ids = sorted(gts.keys())
