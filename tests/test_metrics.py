@@ -214,3 +214,57 @@ def test_meteor_synonym_paraphrase_stages(tmp_path):
     s = meteor_score("a large dog runs across the field", refs,
                      synonyms=syn, paraphrases=par)
     assert 0.9 < s <= 1.0
+
+
+def test_porter_vectors():
+    """Full Porter stemmer vs the published end-to-end vectors (Porter 1980
+    examples run through the WHOLE algorithm, incl. the author's two
+    standard departures bli->ble / logi->log)."""
+    from unpaired_image_captioning_tpu.eval.metrics.porter import porter_stem
+
+    vectors = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti", "cats": "cat",
+        "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "bled": "bled", "motoring": "motor", "sing": "sing",
+        "conflated": "conflat", "troubled": "troubl", "sized": "size",
+        "hopping": "hop", "tanned": "tan", "falling": "fall",
+        "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+        "filing": "file", "happy": "happi", "sky": "sky",
+        "relational": "relat", "conditional": "condit", "rational": "ration",
+        "valenci": "valenc", "hesitanci": "hesit", "digitizer": "digit",
+        "radicalli": "radic", "vileli": "vile", "analogousli": "analog",
+        "vietnamization": "vietnam", "predication": "predic",
+        "operator": "oper", "feudalism": "feudal",
+        "decisiveness": "decis", "hopefulness": "hope",
+        "callousness": "callous", "formaliti": "formal",
+        "sensitiviti": "sensit", "sensibiliti": "sensibl",
+        "triplicate": "triplic", "formative": "form", "formalize": "formal",
+        "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+        "goodness": "good", "revival": "reviv", "allowance": "allow",
+        "inference": "infer", "airliner": "airlin",
+        "gyroscopic": "gyroscop", "adjustable": "adjust",
+        "defensible": "defens", "irritant": "irrit",
+        "replacement": "replac", "adjustment": "adjust",
+        "dependent": "depend", "adoption": "adopt", "communism": "commun",
+        "activate": "activ", "angulariti": "angular",
+        "homologous": "homolog", "effective": "effect",
+        "bowdlerize": "bowdler", "probate": "probat", "rate": "rate",
+        "cease": "ceas", "controll": "control", "roll": "roll",
+        "abilities": "abil", "running": "run", "riding": "ride",
+        "skiing": "ski", "women": "women",
+    }
+    bad = {w: (porter_stem(w), want) for w, want in vectors.items()
+           if porter_stem(w) != want}
+    assert not bad, bad
+
+
+def test_meteor_default_mini_tables():
+    """Meteor() ships with the bundled mini synonym/paraphrase tables so
+    stages 3/4 are exercised by default; {} disables them."""
+    refs = ["a large dog is sitting next to a bicycle"]
+    hyp = "a big dog sits beside a bike"
+    on = Meteor()
+    off = Meteor(synonyms={}, paraphrases={})
+    s_on = on.compute_score({0: refs}, {0: [hyp]})[0]
+    s_off = off.compute_score({0: refs}, {0: [hyp]})[0]
+    assert s_on > s_off  # big~large, bicycle~bike, "next to"~"beside"

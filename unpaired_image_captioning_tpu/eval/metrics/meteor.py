@@ -5,12 +5,19 @@ pipe (`coco-caption/pycocoevalcap/meteor/meteor.py:18-24`); the jar and its
 paraphrase tables are stripped from the repo (.MISSING_LARGE_BLOBS:3-5), so
 metric parity there is unobtainable by construction. This implementation
 follows the METEOR algorithm (Denkowski & Lavie 2014) with all four matcher
-stages: `exact`, `stem` (porter-lite), `synonym`, and `paraphrase`. The
-synonym/paraphrase stages are data-driven — the jar's WordNet synsets and
-paraphrase-db are among the stripped blobs, so the tables default EMPTY
-(stages inert, exact+stem behavior) and activate when tables are supplied
-(Meteor(synonyms=..., paraphrases=...) or the load_* file readers, which
-accept the trivial text conversions of METEOR-1.5's data files):
+stages: `exact`, `stem` (full Porter stemmer, eval/metrics/porter.py),
+`synonym`, and `paraphrase`. The synonym/paraphrase stages are data-driven —
+the jar's WordNet synsets and paraphrase-db are among the stripped blobs, so
+by DEFAULT a small curated caption-domain table ships in meteor_data.py
+(stages exercised out of the box; pass Meteor(synonyms={}, paraphrases={})
+for exact+stem-only behavior) and the load_* file readers accept the trivial
+text conversions of METEOR-1.5's full data files when available.
+
+Expected delta vs the jar: with the mini tables, scores sit between
+exact+stem METEOR (which underscores vs the 0.417 METEOR baseline row by
+missing WordNet matches) and full-WordNet METEOR; on caption-domain text the
+residual gap comes from WordNet synsets absent from the mini table and the
+jar's beam-searched alignment (ours is greedy staged, left-to-right):
 
   P = m/|hyp|, R = m/|ref|, F_mean = P*R/(alpha*P + (1-alpha)*R)
   penalty = gamma * (chunks/m)^beta;  score = F_mean * (1 - penalty)
@@ -28,22 +35,9 @@ from __future__ import annotations
 import re
 from typing import Dict, List, Tuple
 
+from .porter import porter_stem
+
 ALPHA, BETA, GAMMA = 0.9, 3.0, 0.5
-
-_STEM_SUFFIXES = ("ational", "iveness", "fulness", "ousness", "ization",
-                  "tional", "biliti", "lessli", "entli", "ation", "alism",
-                  "aliti", "ousli", "iviti", "fulli", "enci", "anci", "abli",
-                  "izer", "alli", "sses", "ies", "ing", "ed", "es", "s")
-
-
-def _light_stem(w: str) -> str:
-    """Porter-inspired light stemmer (deterministic, no data files)."""
-    if len(w) <= 3:
-        return w
-    for suf in _STEM_SUFFIXES:
-        if w.endswith(suf) and len(w) - len(suf) >= 3:
-            return w[: len(w) - len(suf)]
-    return w
 
 
 def build_synonym_groups(groups) -> Dict[str, frozenset]:
@@ -103,9 +97,9 @@ def _align(hyp: List[str], ref: List[str], synonyms=None, paraphrases=None
                 used_ref[j] = True
                 match_of[i] = j
                 break
-    # stage 2: stem
-    hs = [_light_stem(w) for w in hyp]
-    rs = [_light_stem(r) for r in ref]
+    # stage 2: stem (full Porter)
+    hs = [porter_stem(w) for w in hyp]
+    rs = [porter_stem(r) for r in ref]
     for i, w in enumerate(hs):
         if match_of[i] >= 0:
             continue
@@ -208,8 +202,16 @@ def _norm(s: str) -> List[str]:
 class Meteor:
     def __init__(self, synonyms=None, paraphrases=None):
         """synonyms: word->frozenset group-id table (build_synonym_groups /
-        load_synonyms) or None; paraphrases: phrase->set table
-        (build_paraphrase_table / load_paraphrases) or None."""
+        load_synonyms); paraphrases: phrase->set table (build_paraphrase_table
+        / load_paraphrases). Default None loads the bundled mini tables
+        (meteor_data.py); pass {} to disable a stage."""
+        if synonyms is None or paraphrases is None:
+            from . import meteor_data
+            if synonyms is None:
+                synonyms = build_synonym_groups(meteor_data.SYNONYM_GROUPS)
+            if paraphrases is None:
+                paraphrases = build_paraphrase_table(
+                    meteor_data.PARAPHRASE_PAIRS)
         self.synonyms = synonyms
         self.paraphrases = paraphrases
 
