@@ -179,7 +179,9 @@ def naive_diverse_beam(table, b, *, beam_size, group_size, seq_length,
                 lp[V - 1] -= 1000.0  # UNK
                 aug = lp - penalty
                 for w in range(V):
-                    cands.append((beam["sum"] + aug[w], qi, w, lp[w]))
+                    # accumulate the AUGMENTED logprob (reference
+                    # beam_logprobs_sum takes v['p'], CaptionModel.py:90)
+                    cands.append((beam["sum"] + aug[w], qi, w, aug[w]))
             cands.sort(key=lambda c: -c[0])
             new_beams = []
             for score, qi, w, tok_lp in cands[:bd]:

@@ -137,6 +137,52 @@ def convert_stack_dense_model(state: Dict[str, np.ndarray],
     }
 
 
+def convert_transformer_model(state: Dict[str, np.ndarray], *,
+                              num_layers: int) -> dict:
+    """Reference TransformerModel checkpoint -> our transformer params.
+
+    Layout (TransformerModel.py): att_embed Sequential(Linear,ReLU,Dropout)
+    (:321-326, use_bn=0), model.{encoder,decoder}.layers.N with
+    self_attn/src_attn MultiHeadedAttention `linears.{0..3}` = q/k/v/o
+    (:287-300), feed_forward w_1/w_2 (:225-235), pre-norm sublayer norms
+    a_2/b_2 (:96-105), final encoder/decoder norms, tgt_embed.0.lut
+    (:238-245), generator.proj (:60-68)."""
+    def ln(prefix):
+        return {"scale": jnp.asarray(_t(state, prefix + ".a_2")),
+                "offset": jnp.asarray(_t(state, prefix + ".b_2"))}
+
+    def mha(prefix):
+        return {k: _linear(state, f"{prefix}.linears.{i}")
+                for i, k in enumerate(("q", "k", "v", "o"))}
+
+    def ffn(prefix):
+        return {"w1": _linear(state, prefix + ".w_1"),
+                "w2": _linear(state, prefix + ".w_2")}
+
+    p = {
+        "att_embed": _linear(state, "att_embed.0"),
+        "tgt_embed": jnp.asarray(_t(state, "model.tgt_embed.0.lut.weight")),
+        "generator": _linear(state, "model.generator.proj"),
+        "enc_norm": ln("model.encoder.norm"),
+        "dec_norm": ln("model.decoder.norm"),
+        "enc": [], "dec": [],
+    }
+    for i in range(num_layers):
+        e = f"model.encoder.layers.{i}"
+        p["enc"].append({"self": mha(e + ".self_attn"),
+                         "ffn": ffn(e + ".feed_forward"),
+                         "n1": ln(e + ".sublayer.0.norm"),
+                         "n2": ln(e + ".sublayer.1.norm")})
+        d = f"model.decoder.layers.{i}"
+        p["dec"].append({"self": mha(d + ".self_attn"),
+                         "src": mha(d + ".src_attn"),
+                         "ffn": ffn(d + ".feed_forward"),
+                         "n1": ln(d + ".sublayer.0.norm"),
+                         "n2": ln(d + ".sublayer.1.norm"),
+                         "n3": ln(d + ".sublayer.2.norm")})
+    return p
+
+
 def convert_nmt_model(state: Dict[str, np.ndarray], *, layers: int = 1,
                       brnn: bool = True) -> dict:
     """Reference NMT (Encoder/Decoder/NMTModel + generator) -> NMTModel params."""
@@ -177,4 +223,6 @@ CONVERTERS = {
     "att2in2": convert_att2in2_model,
     "stackatt": lambda s: convert_stack_dense_model(s, dense=False),
     "denseatt": lambda s: convert_stack_dense_model(s, dense=True),
+    "transformer": lambda s, num_layers=6: convert_transformer_model(
+        s, num_layers=num_layers),
 }

@@ -665,7 +665,7 @@ class NMTModel:
         ids >= tgt_vocab_size are exact copies of source positions — split
         them with `resolve_extended`.
         """
-        from ..ops.beam_search import beam_search
+        from ..ops.beam_search import onmt_beam_search
 
         beam_size = beam_size or self.beam_size
         max_len = max_len or self.max_decode_len
@@ -695,10 +695,13 @@ class NMTModel:
         # kept opt-out after A/B measurements favored expansion at small
         # beams; coverage requires expansion (per-beam context edits).
         no_expand = () if self.coverage_attn else ("context", "src_mask")
-        return beam_search(
+        # onmt semantics (NOT the caption dead-slot beam): EOS'd rows keep
+        # extending, a sentence stops when EOS tops its beam, hypotheses are
+        # truncated at the first EOS at read-out (onmt/Beam.py:50-88;
+        # token-identity vs torch: tests/test_beam_convert_parity.py)
+        return onmt_beam_search(
             step_fn, params, ctx, state0,
             beam_size=beam_size, seq_length=max_len,
-            bos_token=C.BOS, eos_token=C.EOS, eos_is_zero=False,
-            suppress_unk=False, ctx_no_expand=no_expand,
+            bos_token=C.BOS, eos_token=C.EOS, ctx_no_expand=no_expand,
             record_aux_from_state=lambda st: jnp.argmax(st["attn"], axis=-1),
         )

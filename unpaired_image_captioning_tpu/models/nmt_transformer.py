@@ -173,7 +173,7 @@ class TransformerNMTModel:
         # src2tgt accepted for interface parity with NMTModel.translate_batch;
         # the transformer NMT has no copy attention so it is ignored.
         del src2tgt
-        from ..ops.beam_search import beam_search
+        from ..ops.beam_search import onmt_beam_search
 
         beam_size = beam_size or self.beam_size
         T = max_len or self.max_decode_len
@@ -239,10 +239,11 @@ class TransformerNMTModel:
                      "attn": attn_out}
             return jax.nn.log_softmax(logits, axis=-1), state
 
-        return beam_search(
+        # onmt beam semantics, same as the RNN NMT path
+        return onmt_beam_search(
             step_fn, params, ctx, state0, beam_size=beam_size, seq_length=T,
-            bos_token=C.BOS, eos_token=C.EOS, eos_is_zero=False,
-            suppress_unk=False, ctx_no_expand=("cross", "src_mask", "memory"),
+            bos_token=C.BOS, eos_token=C.EOS,
+            ctx_no_expand=("cross", "src_mask", "memory"),
             record_aux_from_state=lambda st: jnp.argmax(st["attn"], axis=-1))
 
 

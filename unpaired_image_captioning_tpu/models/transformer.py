@@ -53,10 +53,15 @@ def layer_norm_init(dim: int) -> dict:
 
 
 def layer_norm(p, x, eps: float = 1e-6):
+    """Reference formula exactly (TransformerModel.py:96-105):
+    a_2 * (x - mean) / (std + eps) + b_2 with torch's UNBIASED std (n-1
+    divisor, eps OUTSIDE the sqrt) — required for converted-checkpoint
+    token identity (tests/test_beam_convert_parity.py)."""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.var(x32, axis=-1, keepdims=True)
-    out = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    n = x32.shape[-1]
+    var = jnp.sum(jnp.square(x32 - mean), axis=-1, keepdims=True) / (n - 1)
+    out = (x32 - mean) / (jnp.sqrt(var) + eps)
     return (out * p["scale"] + p["offset"]).astype(x.dtype)
 
 

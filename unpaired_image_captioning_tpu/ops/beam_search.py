@@ -19,9 +19,14 @@ compiled scan:
   for UNK replacement, NMT_Models.py:312-320).
 
 Semantics notes (parity with the reference):
-- ranking uses the *augmented* logprobs (diversity penalty, constraint),
-  while accumulated beam scores use the *unaugmented* values (UNK
-  suppression is part of the unaugmented values, CaptionModel.py:133);
+- selection AND the accumulated beam score use the *augmented* logprobs
+  (diversity penalty, constraint): `beam_logprobs_sum[vix] = v['p']` where
+  p sums the sorted augmented values (CaptionModel.py:70-74,90). The
+  per-token logp record uses the *unaugmented* values (v['r']); UNK
+  suppression is part of the unaugmented values too (:133);
+- the diversity penalty reads previous groups' beams AFTER their advance at
+  the same global step (groups are processed in order inside one t;
+  add_diversity reads the just-updated beam_seq_table, :36-44,127-138);
 - at a group's local t=0 only beam 0 participates (all beams start equal);
 - a beam that emits EOS is recorded into the finished set and its live score
   is set to exactly −1000 (it remains a selectable "dead slot", matching the
@@ -157,12 +162,15 @@ def beam_search(
             unaug = lp[:, g]  # [B, bd, V]
             aug = unaug
 
-            # diversity penalty from previous groups' choices at this local t
+            # diversity penalty from previous groups' choices at this local
+            # t — read from new_seq: groups advance in order within one
+            # global step and add_diversity sees the just-updated tables
+            # (CaptionModel.py:127-138)
             if g > 0 and diversity_lambda > 0.0:
                 penalty = jnp.zeros((batch, V), jnp.float32)
                 for p in range(g):
                     prev_tok = jnp.take_along_axis(
-                        seq_buf[:, p], jnp.broadcast_to(lt, (batch, bd))[..., None],
+                        new_seq[:, p], jnp.broadcast_to(lt, (batch, bd))[..., None],
                         axis=-1)[..., 0]  # [B, bd]
                     penalty = penalty + jnp.sum(
                         jax.nn.one_hot(prev_tok, V, dtype=jnp.float32), axis=1)
@@ -188,11 +196,15 @@ def beam_search(
             parent = sel_idx // V
             tok = (sel_idx % V).astype(jnp.int32)
 
-            # accumulated score uses the UNAUGMENTED logprob of the token;
-            # sel_idx == parent * V + tok, so gather from the flat unaug view
+            # the accumulated beam score uses the AUGMENTED logprob
+            # (reference beam_logprobs_sum, CaptionModel.py:70-74,90); the
+            # per-token logp record keeps the UNAUGMENTED value (v['r']).
+            # sel_idx == parent * V + tok, gather from the flat views.
             tok_unaug = jnp.take_along_axis(
                 unaug.reshape(batch, bd * V), sel_idx, axis=1)
-            cum_g = jnp.take_along_axis(cum[:, g], parent, axis=1) + tok_unaug
+            tok_aug = jnp.take_along_axis(
+                aug.reshape(batch, bd * V), sel_idx, axis=1)
+            cum_g = jnp.take_along_axis(cum[:, g], parent, axis=1) + tok_aug
 
             # reorder buffers by parent, then write token at lt
             def reorder_write(buf_g, value):
@@ -285,3 +297,113 @@ def beam_search(
         scores=fin_score.reshape(batch, K),
         aux=fin_aux.reshape(batch, K, T) if fin_aux is not None else None,
     )
+
+
+def onmt_beam_search(
+    step_fn: Callable,
+    params,
+    ctx,
+    state0,
+    *,
+    beam_size: int,
+    seq_length: int,
+    bos_token: int,
+    eos_token: int,
+    ctx_no_expand: tuple = (),
+    record_aux_from_state: Optional[Callable[[Any], jax.Array]] = None,
+) -> BeamResult:
+    """Beam search with the vendored OpenNMT's exact semantics
+    (onmt/Beam.py:50-88, NMT_Models.py:322-395) — these differ from the
+    caption beam above and matter for token-identical translations:
+
+    - rows that emit EOS are NOT dead-slotted: they stay in the beam and
+      keep extending (scores keep accumulating); hypotheses are truncated at
+      their FIRST EOS only at read-out (buildTargetTokens, :312-320);
+    - a sentence finishes when EOS is at the TOP of its beam
+      (Beam.py:83-85); finished sentences freeze;
+    - at t=0 only row 0's scores participate (beamLk = wordLk[0]);
+    - the result rows are the final beam rows sorted by current score
+      (sortBest + getHyp backtrace == our reordered seq buffer).
+
+    Cross-checked token-identical against a torch transcription in
+    tests/test_beam_convert_parity.py.
+    """
+    K = beam_size
+    T = seq_length
+    batch = jax.tree.leaves(state0)[0].shape[0]
+    ctx = (_expand_to_beams(ctx, K, no_expand=ctx_no_expand)
+           if ctx is not None else None)
+    state = _expand_to_beams(state0, K)
+
+    cum = jnp.zeros((batch, K), jnp.float32)
+    it = jnp.full((batch, K), bos_token, jnp.int32)
+    seq_buf = jnp.zeros((batch, K, T), jnp.int32)
+    logp_buf = jnp.zeros((batch, K, T), jnp.float32)
+    aux_buf = (jnp.zeros((batch, K, T), jnp.int32)
+               if record_aux_from_state else None)
+    done = jnp.zeros((batch,), bool)
+    arangeT = jnp.arange(T)
+
+    def body(carry):
+        t, state, cum, it, seq_buf, logp_buf, aux_buf, done = carry
+        lp_flat, new_state = step_fn(params, ctx, state, it.reshape(batch * K))
+        V = lp_flat.shape[-1]
+        lp = lp_flat.astype(jnp.float32).reshape(batch, K, V)
+        aux_now = (record_aux_from_state(new_state).astype(jnp.int32)
+                   .reshape(batch, K) if record_aux_from_state else None)
+
+        total = cum[..., None] + lp
+        # t=0: beamLk = wordLk[0] only (Beam.py:66-68)
+        row_mask = jnp.where(
+            t == 0, jnp.where(jnp.arange(K) == 0, 0.0, NEG_INF),
+            jnp.zeros((K,)))
+        total = total + row_mask[None, :, None]
+
+        sel_score, sel_idx = jax.lax.top_k(total.reshape(batch, K * V), K)
+        parent = sel_idx // V
+        tok = (sel_idx % V).astype(jnp.int32)
+        tok_lp = jnp.take_along_axis(lp.reshape(batch, K * V), sel_idx, axis=1)
+
+        def reorder_write(buf, value):
+            re = jnp.take_along_axis(buf, parent[..., None], axis=1)
+            write = arangeT[None, None, :] == t
+            return jnp.where(write, value[..., None], re)
+
+        new_seq = reorder_write(seq_buf, tok)
+        new_logp = reorder_write(logp_buf, tok_lp)
+        new_aux = (reorder_write(aux_buf,
+                                 jnp.take_along_axis(aux_now, parent, axis=1))
+                   if record_aux_from_state else None)
+
+        frz = done[:, None]
+        cum = jnp.where(frz, cum, sel_score)
+        it = jnp.where(frz, it, tok)
+        seq_buf = jnp.where(frz[..., None], seq_buf, new_seq)
+        logp_buf = jnp.where(frz[..., None], logp_buf, new_logp)
+        if record_aux_from_state:
+            aux_buf = jnp.where(frz[..., None], aux_buf, new_aux)
+
+        # global state reorder (frozen sentences keep stepping but their
+        # rows are never read again)
+        base = (jnp.arange(batch) * K)[:, None]
+        gather_idx = (base + parent).reshape(batch * K)
+
+        def reorder_leaf(new_leaf, old_leaf):
+            re = jnp.take(new_leaf, gather_idx, axis=0)
+            mask = jnp.repeat(done, K).reshape(
+                (batch * K,) + (1,) * (re.ndim - 1))
+            return jnp.where(mask, old_leaf, re)
+
+        state = jax.tree.map(reorder_leaf, new_state, state)
+        # EOS at top-of-beam finishes the sentence (Beam.py:83-85)
+        done = jnp.logical_or(done, tok[:, 0] == eos_token)
+        return (t + 1, state, cum, it, seq_buf, logp_buf, aux_buf, done)
+
+    def cond(carry):
+        t, done = carry[0], carry[-1]
+        return jnp.logical_and(t < T, ~jnp.all(done))
+
+    carry = (jnp.int32(0), state, cum, it, seq_buf, logp_buf, aux_buf, done)
+    carry = jax.lax.while_loop(cond, body, carry)
+    (_, _, cum, _, seq_buf, logp_buf, aux_buf, _) = carry
+    return BeamResult(seq=seq_buf, logps=logp_buf, scores=cum, aux=aux_buf)
