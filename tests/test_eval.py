@@ -197,3 +197,87 @@ def test_decode_determinism(loader, rng):
                    beam_size=2)
     assert ([p["caption"] for p in a["predictions"]]
             == [p["caption"] for p in b["predictions"]])
+
+
+def test_eval_paired_image_folder(tmp_path, monkeypatch):
+    """--image_folder raw-image eval (ref dataloaderraw.py:25-141 reached
+    from eval_pivot.py:204-210): a folder of images goes through the
+    on-the-fly ResNet front-end and the checkpoint decodes captions for
+    each, no label h5 required (VERDICT r1 "Next" #7)."""
+    import json
+    import os
+
+    import numpy as np
+
+    from unpaired_image_captioning_tpu.cli import eval_paired
+    from unpaired_image_captioning_tpu.cli import train as train_cli
+    from unpaired_image_captioning_tpu.data.synthetic import (
+        make_caption_artifacts)
+
+    jpath, h5path, mem = make_caption_artifacts(
+        str(tmp_path), vocab_size=30, fc_dim=2048, att_dim=24)
+    fc_dir, att_dir = str(tmp_path / "fc"), str(tmp_path / "att")
+    os.makedirs(fc_dir), os.makedirs(att_dir)
+    for i, v in mem["fc"].items():
+        np.savez(os.path.join(fc_dir, f"{i}.npz"), feat=v)
+    for i, v in mem["att"].items():
+        np.savez(os.path.join(att_dir, f"{i}.npz"), feat=v)
+
+    save = str(tmp_path / "run")
+    train_cli.main([
+        "--caption_model", "fc", "--input_json", jpath,
+        "--input_label_h5", h5path, "--input_fc_dir", fc_dir,
+        "--input_att_dir", att_dir, "--i2t_train_flag", "true",
+        "--batch_size", "4", "--seq_per_img", "1", "--rnn_size", "24",
+        "--input_encoding_size", "16", "--fc_feat_size", "2048",
+        "--att_feat_size", "24", "--num_layers", "1", "--max_epochs", "1",
+        "--save_checkpoint_every", "1000", "--checkpoint_path", save,
+        "--id", "rawimg"])
+
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        np.save(str(imgs / f"img{i}.npy"),
+                rng.randint(0, 255, (40, 50, 3)).astype(np.uint8))
+
+    monkeypatch.chdir(tmp_path)
+    eval_paired.main([
+        "--start_from", save, "--image_folder", str(imgs),
+        "--image_size", "32", "--resnet_depth", "resnet_tiny",
+        "--batch_size", "3", "--beam_size", "1", "--id", "rawimg",
+        "--input_json", jpath])
+
+    out = json.load(open(tmp_path / "eval_results" / "paired_rawimg_test.json"))
+    preds = out["predictions"]
+    assert len(preds) == 3
+    assert all(isinstance(p["caption"], str) for p in preds)
+    assert {p["image_id"] for p in preds} == {0, 1, 2}
+
+
+def test_eval_30k_offline_route(tmp_path, monkeypatch):
+    """flickr30k route (ref eval_unpaired.py:289-325, offline type): caption
+    text -> "there is" post-edit + lowercase -> id mapping -> coco-json ->
+    scored vs flickr-style references."""
+    import json
+
+    from unpaired_image_captioning_tpu.cli.eval_unpaired import main as um
+
+    monkeypatch.chdir(tmp_path)
+    txt = tmp_path / "en.txt"
+    txt.write_text("there is A MAN riding a horse\na dog runs\n")
+    refs = {100: ["a man riding a horse", "a person rides a horse"],
+            200: ["a dog is running", "the dog runs fast"]}
+    (tmp_path / "refs.json").write_text(json.dumps(refs))
+    (tmp_path / "ids.json").write_text(json.dumps([100, 200]))
+
+    out = um(["--eval_30k", str(txt), "--flickr_refs",
+              str(tmp_path / "refs.json"), "--flickr_ids",
+              str(tmp_path / "ids.json"), "--id", "flk"])
+    assert out["overall"] and out["overall"]["Bleu_1"] > 0.5
+    preds = json.load(open(out["predictions_json"]))
+    assert preds[0]["image_id"] == 100
+    # post-edit applied: "there is" stripped, lowercased
+    assert preds[0]["caption"] == "a man riding a horse"
+    # cached artifact in the reference's tmp/ layout
+    assert (tmp_path / "tmp" / "flickr_test_1k_en_offline.txt").exists()

@@ -29,16 +29,30 @@ def main(argv=None):
     saved = Config.from_dict(infos["opt"])
     cfg = merge_checkpoint_config(cfg, saved)
 
-    loader = build_loader(cfg)
-    cfg.vocab_size = loader.vocab.vocab_size
-    cfg.seq_length = loader.seq_length
+    if cfg.image_folder:
+        # raw-image route: folder of images -> on-the-fly ResNet features
+        # (ref dataloaderraw.py:25-141 via eval_pivot.py:204-210); vocab
+        # comes from the run's talk.json, captions are decoded without refs
+        from ..data.raw_images import RawImageLoader
+        from ..vocab import CaptionVocab
+
+        loader = RawImageLoader(
+            folder_path=cfg.image_folder, batch_size=cfg.batch_size,
+            image_size=cfg.image_size, depth=cfg.resnet_depth)
+        with open(cfg.input_json) as f:
+            loader.vocab = CaptionVocab(json.load(f)["ix_to_word"])
+        cfg.vocab_size = loader.vocab.vocab_size
+    else:
+        loader = build_loader(cfg)
+        cfg.vocab_size = loader.vocab.vocab_size
+        cfg.seq_length = loader.seq_length
 
     model = models.setup(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
     params = ckpt.load_params("model_i2t", params, best=best)
 
     refs = None
-    if cfg.language_eval:
+    if cfg.language_eval and not cfg.image_folder:
         refs = {}
         for split in ("val", "test"):
             for ix in loader.split_ix[split]:
@@ -55,7 +69,7 @@ def main(argv=None):
     out = eval_split(model, params, loader, split="test",
                      num_images=cfg.val_images_use, beam_size=cfg.beam_size,
                      language_eval_refs=refs, model_id=cfg.id, mesh=mesh,
-                     verbose=True)
+                     verbose=True, spice=bool(cfg.spice))
     os.makedirs("eval_results", exist_ok=True)
     path = os.path.join("eval_results", f"paired_{cfg.id}_test.json")
     with open(path, "w") as f:

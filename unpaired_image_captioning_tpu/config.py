@@ -38,6 +38,18 @@ class Config:
     # --- data inputs ---
     input_json: str = "data/chinese_talk.json"
     input_coco_json: str = ""
+    # raw-image eval: decode captions for an arbitrary folder of images via
+    # the on-the-fly ResNet front-end (ref dataloaderraw.py:25-141, reached
+    # from eval_pivot.py:204-210)
+    image_folder: str = ""
+    image_size: int = 448
+    resnet_depth: str = "resnet101"  # raw-image front-end (ref --model)
+    # flickr30k route of the unpaired eval (ref eval_unpaired.py:289-325):
+    # score a caption text file vs flickr30k-style references
+    eval_30k: str = ""          # path to the captions text file
+    eval_30k_mode: str = "offline"   # offline | online (in-house NMT)
+    flickr_refs: str = ""       # json: image_id -> [reference captions]
+    flickr_ids: str = ""        # json list of image ids (line-aligned)
     input_fc_dir: str = "data/aic_fc"
     input_att_dir: str = "data/aic_att"
     input_box_dir: str = ""
@@ -153,6 +165,9 @@ class Config:
     save_checkpoint_every: int = 2500
     checkpoint_path: str = "save"
     language_eval: int = 0
+    # adds the SPICE column to the coco scoring route (stand-in scorer, not
+    # jar parity — see eval/metrics/spice.py); ref pycocoevalcap/eval.py:9-40
+    spice: int = 0
     losses_log_every: int = 25
     load_best_score: int = 1
 
@@ -226,6 +241,8 @@ EVAL_OVERRIDE_KEYS = frozenset({
     "input_label_h5", "input_label_coco_h5", "input_fc_h5", "input_att_h5",
     "input_nmt_h5", "input_nmt_pt", "input_nmt_dict", "checkpoint_path",
     "num_devices", "mesh_shape", "gpus", "seed",
+    "image_folder", "image_size", "spice", "resnet_depth",
+    "eval_30k", "eval_30k_mode", "flickr_refs", "flickr_ids",
 })
 
 # Model-shape options that MUST match the checkpoint (parity: train.py:30-35).

@@ -29,13 +29,20 @@ from ..utils.text import decode_sequence, expand_contractions
 
 def language_eval(dataset_type: str, preds: List[dict], model_id: str,
                   split: str, *, references: Dict[Any, List[str]],
-                  eval_results_dir: str = "eval_results") -> dict:
+                  eval_results_dir: str = "eval_results",
+                  spice: bool = False) -> dict:
     """Score predictions against references; cache the result json.
 
     `references`: image_id -> list of reference captions (the reference
     loads these from annotation files; callers supply them directly so zh
-    (AIC), en (COCO), and 30k routes share one scorer stack)."""
-    from .metrics import Bleu, Cider, Meteor, Rouge
+    (AIC), en (COCO), and 30k routes share one scorer stack).
+
+    `spice=True` adds the SPICE column the reference's coco route computes
+    (coco-caption/pycocoevalcap/eval.py:9-40). LOUD CAVEAT: our Spice is a
+    documented rule-based STAND-IN (eval/metrics/spice.py) — the reference
+    jar is stripped upstream, so this column is NOT jar-parity and is off
+    by default."""
+    from .metrics import Bleu, Cider, Meteor, Rouge, Spice
 
     gts = {}
     res = {}
@@ -56,8 +63,11 @@ def language_eval(dataset_type: str, preds: List[dict], model_id: str,
         overall[f"Bleu_{k + 1}"] = bleu_scores[k]
         for i, iid in enumerate(sorted(gts)):
             img_to_eval[iid][f"Bleu_{k + 1}"] = bleu_per[k][i]
-    for name, scorer in (("METEOR", Meteor()), ("ROUGE_L", Rouge()),
-                         ("CIDEr", Cider())):
+    scorers = [("METEOR", Meteor()), ("ROUGE_L", Rouge()),
+               ("CIDEr", Cider())]
+    if spice:
+        scorers.append(("SPICE", Spice()))  # stand-in, not jar parity
+    for name, scorer in scorers:
         mean, per = scorer.compute_score(gts, res)
         overall[name] = mean
         for i, iid in enumerate(sorted(gts)):
@@ -115,7 +125,8 @@ def eval_split(model, params, loader, *, split: str = "val",
                language_eval_refs: Optional[Dict] = None,
                dataset_type: str = "zh", model_id: str = "model",
                rng=None, nmt_model=None, nmt_params=None,
-               nmt_valid=None, mesh=None, verbose: bool = False) -> dict:
+               nmt_valid=None, mesh=None, verbose: bool = False,
+               spice: bool = False) -> dict:
     """Main val loop (parity: eval_utils.eval_split :208-327).
 
     `mesh`: optional jax.sharding.Mesh — feature batches shard over the
@@ -159,10 +170,14 @@ def eval_split(model, params, loader, *, split: str = "val",
             att_feats=feat_arr(data["att_feats"]),
             attri_feats=feat_arr(data["attri_feats"]),
             att_masks=jnp.asarray(data["att_masks"]))
-        labels = jnp.asarray(data["labels"])
-        masks = jnp.asarray(data["masks"])
-        losses += float(xe_loss_fn(params, feats, labels, masks))
-        n_loss += 1
+        # raw-image loaders carry no labels (all-zero masks): skip the XE
+        # loss exactly like the reference (eval_utils.py:244-252 gates on
+        # data.get('labels'))
+        if data["masks"].sum() > 0:
+            labels = jnp.asarray(data["labels"])
+            masks = jnp.asarray(data["masks"])
+            losses += float(xe_loss_fn(params, feats, labels, masks))
+            n_loss += 1
 
         # one caption per image: take the first of each seq_per_img block
         spi = loader.seq_per_img
@@ -190,7 +205,8 @@ def eval_split(model, params, loader, *, split: str = "val",
     lang_stats = None
     if language_eval_refs is not None:
         lang_stats = language_eval(dataset_type, predictions, model_id, split,
-                                   references=language_eval_refs)
+                                   references=language_eval_refs,
+                                   spice=spice)
 
     nmt_stats = None
     if nmt_model is not None and nmt_valid is not None:
@@ -227,7 +243,8 @@ def eval_split_coco_unpaired(cap_model, cap_params, nmt_model, nmt_params,
                              en_refs: Optional[Dict] = None,
                              zh_refs: Optional[Dict] = None,
                              model_id: str = "pivot",
-                             src2tgt=None, replace_unk: bool = True) -> dict:
+                             src2tgt=None, replace_unk: bool = True,
+                             spice: bool = False) -> dict:
     """Pivot eval (parity: eval_utils.py:329-473): decode zh for COCO
     images, translate zh->en on device in the same program, post-edit,
     score en vs COCO refs (and zh vs zh refs when given).
@@ -302,7 +319,8 @@ def eval_split_coco_unpaired(cap_model, cap_params, nmt_model, nmt_params,
     out = {"zh_predictions": zh_preds[:budget], "en_predictions": en_preds[:budget]}
     if en_refs is not None:
         out["en_lang_stats"] = language_eval("coco", out["en_predictions"],
-                                             model_id, split, references=en_refs)
+                                             model_id, split,
+                                             references=en_refs, spice=spice)
     if zh_refs is not None:
         out["zh_lang_stats"] = language_eval("zh", out["zh_predictions"],
                                              model_id, split, references=zh_refs)

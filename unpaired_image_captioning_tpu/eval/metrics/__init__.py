@@ -11,3 +11,5 @@ from .bleu import Bleu, corpus_bleu, sentence_bleu
 from .cider import Cider, CiderD
 from .rouge import Rouge
 from .meteor import Meteor
+from .spice import Spice
+from .ter import Ter

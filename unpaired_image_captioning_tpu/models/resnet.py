@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BLOCKS = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3),
+BLOCKS = {"resnet_tiny": (1, 1, 1, 1),  # CI-sized variant for CLI tests
+          "resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3),
           "resnet152": (3, 8, 36, 3)}
 
 # torchvision normalization (dataloaderraw.py / prepro_feats.py preprocessing)
