@@ -79,6 +79,13 @@ def main(argv=None):
                 dicts = _json.load(f)
             cfg.nmt_src_vocab_size = UDict.from_state_dict(dicts["src"]).size()
             cfg.nmt_tgt_vocab_size = UDict.from_state_dict(dicts["tgt"]).size()
+            # copy the dicts into the run dir: eval_unpaired and the
+            # standalone translate CLI read them from there
+            os.makedirs(cfg.checkpoint_path, exist_ok=True)
+            for side in ("src", "tgt"):
+                with open(os.path.join(cfg.checkpoint_path,
+                                       f"{side}_dict.json"), "w") as f:
+                    _json.dump(dicts[side], f)
         if not cfg.nmt_src_vocab_size:
             cfg.nmt_src_vocab_size = int(nmt_dataset.src.max()) + 1
             cfg.nmt_tgt_vocab_size = int(nmt_dataset.tgt.max()) + 1

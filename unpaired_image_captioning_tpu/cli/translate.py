@@ -35,7 +35,13 @@ def main(argv=None):
     nmt_cfg = load_json(f"{args.model}/nmt_config.json")
     src_dict = Dict.from_state_dict(load_json(f"{args.model}/src_dict.json"))
     tgt_dict = Dict.from_state_dict(load_json(f"{args.model}/tgt_dict.json"))
-    model = NMTModel(**nmt_cfg)
+    kind = nmt_cfg.pop("model_type", "rnn")
+    if kind == "transformer":
+        from ..models.nmt_transformer import TransformerNMTModel
+
+        model = TransformerNMTModel(**nmt_cfg)
+    else:
+        model = NMTModel(**nmt_cfg)
     params = model.init_params(jax.random.PRNGKey(0))
     params = load_pytree(f"{args.model}/model_nmt.msgpack", params)
 
@@ -49,7 +55,9 @@ def main(argv=None):
         for bi, toks in enumerate(chunk):
             ids = src_dict.convert_to_idx(toks, C.UNK_WORD)
             src[bi, :len(ids)] = ids
-        lengths = (src != C.PAD).sum(1).astype(np.int32)
+        # empty source lines (possible in pipeline use) still need a valid
+        # length-1 window for the masked encoder scans
+        lengths = np.maximum((src != C.PAD).sum(1), 1).astype(np.int32)
         src2tgt = (jnp.asarray(src_dict.align(tgt_dict))
                    if model.copy_attn else None)
         res = model.translate_batch(params, jnp.asarray(src),

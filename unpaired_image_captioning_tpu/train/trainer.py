@@ -360,6 +360,21 @@ class Trainer:
         self.ckpt.save(i2t_params=self.i2t_params, nmt_params=self.nmt_params,
                        optim_state=self.optim.state_dict(), infos=infos,
                        histories=histories, best=best)
+        if self.nmt_model is not None:
+            # make the run dir consumable by the STANDALONE translate CLI
+            # (reference eval_pivot shells out to OpenNMT translate.py with a
+            # self-describing .pt checkpoint, eval_pivot.py:154-161; our
+            # msgpack needs this sidecar to rebuild the model)
+            import dataclasses as _dc
+            import os as _os
+
+            from .checkpoint import save_json
+
+            kind = type(self.nmt_model).__name__
+            save_json(_os.path.join(self.ckpt.dir, "nmt_config.json"),
+                      {"model_type": ("transformer" if "Transformer" in kind
+                                      else "rnn"),
+                       **_dc.asdict(self.nmt_model)})
 
     def load(self, best: bool = False) -> dict:
         infos = self.ckpt.load_infos(best=best)
