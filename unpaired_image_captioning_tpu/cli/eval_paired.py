@@ -50,6 +50,14 @@ def main(argv=None):
     model = models.setup(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
     params = ckpt.load_params("model_i2t", params, best=best)
+    if cfg.bn_calibrate > 0 and not cfg.image_folder:
+        # fill/refresh use_bn running stats from data (converted checkpoints
+        # without tracked stats; ref AttModel train-mode BN :79-84)
+        from ..models.att import calibrate_batch_norm
+
+        params = calibrate_batch_norm(params, loader,
+                                      n_batches=cfg.bn_calibrate)
+        print(f"BN running stats calibrated on {cfg.bn_calibrate} batches")
 
     refs = None
     if cfg.language_eval and not cfg.image_folder:

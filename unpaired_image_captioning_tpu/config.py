@@ -46,6 +46,9 @@ class Config:
     resnet_depth: str = "resnet101"  # raw-image front-end (ref --model)
     # flickr30k route of the unpaired eval (ref eval_unpaired.py:289-325):
     # score a caption text file vs flickr30k-style references
+    # re-estimate use_bn running statistics from N data batches before eval
+    # (for checkpoints without stats; ref AttModel.py:79-84 train-mode BN)
+    bn_calibrate: int = 0
     eval_30k: str = ""          # path to the captions text file
     eval_30k_mode: str = "offline"   # offline | online (in-house NMT)
     flickr_refs: str = ""       # json: image_id -> [reference captions]
@@ -242,7 +245,7 @@ EVAL_OVERRIDE_KEYS = frozenset({
     "input_nmt_h5", "input_nmt_pt", "input_nmt_dict", "checkpoint_path",
     "num_devices", "mesh_shape", "gpus", "seed",
     "image_folder", "image_size", "spice", "resnet_depth",
-    "eval_30k", "eval_30k_mode", "flickr_refs", "flickr_ids",
+    "eval_30k", "eval_30k_mode", "flickr_refs", "flickr_ids", "bn_calibrate",
 })
 
 # Model-shape options that MUST match the checkpoint (parity: train.py:30-35).

@@ -85,11 +85,34 @@ def _attention(state, prefix="core.attention"):
             "alpha_net": _linear(state, prefix + ".alpha_net")}
 
 
+def _bn(state, prefix):
+    """torch BatchNorm1d state -> our _batch_norm params (incl. the trained
+    running stats, so converted use_bn checkpoints evaluate correctly)."""
+    return {"scale": jnp.asarray(_t(state, prefix + ".weight")),
+            "offset": jnp.asarray(_t(state, prefix + ".bias")),
+            "mean": jnp.asarray(_t(state, prefix + ".running_mean")),
+            "var": jnp.asarray(_t(state, prefix + ".running_var"))}
+
+
+def _att_embed_parts(state):
+    """att_embed under the reference's use_bn layouts (AttModel.py:79-84):
+    Sequential([BN,] Linear, ReLU, Dropout [, BN]) — the Linear shifts to
+    index 1 when a leading BatchNorm is present; use_bn==2 adds a trailing
+    BatchNorm at index 4."""
+    if "att_embed.0.running_mean" in state:
+        out = {"bn0": _bn(state, "att_embed.0"),
+               "att_embed": _linear(state, "att_embed.1")}
+        if "att_embed.4.running_mean" in state:
+            out["bn1"] = _bn(state, "att_embed.4")
+        return out
+    return {"att_embed": _linear(state, "att_embed.0")}
+
+
 def convert_topdown_model(state: Dict[str, np.ndarray]) -> dict:
     return {
         "embed": jnp.asarray(_t(state, "embed.0.weight")),
         "fc_embed": _linear(state, "fc_embed.0"),
-        "att_embed": _linear(state, "att_embed.0"),
+        **_att_embed_parts(state),
         "ctx2att": _linear(state, "ctx2att"),
         "logit": [_linear(state, "logit")],
         "core": {
@@ -130,7 +153,7 @@ def convert_stack_dense_model(state: Dict[str, np.ndarray],
     return {
         "embed": jnp.asarray(_t(state, "embed.0.weight")),
         "fc_embed": _linear(state, "fc_embed.0"),
-        "att_embed": _linear(state, "att_embed.0"),
+        **_att_embed_parts(state),
         "ctx2att": _linear(state, "ctx2att"),
         "logit": [_linear(state, "logit")],
         "core": core,
