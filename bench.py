@@ -1,44 +1,63 @@
-"""Benchmark: captions/sec/chip at beam=3 (the BASELINE.json headline).
+"""Benchmark: captions/sec/chip at beam=3 + training-step throughput + MFU.
 
-Workload mirrors the reference eval protocol (BASELINE.md): denseatt (the
-reference's best AIC model), vocab 9487+1, rnn_size 512, 14x14=196-slot att
-grid of 2048-d features, batch 50, max caption length 16, beam 3. The whole
-decode — attention family forward, diverse beam bookkeeping, EOS handling —
-is one compiled on-device program (ops/beam_search.py); the reference runs
-beam search per image in host Python (AttModel.py:167-196).
+Decode workload mirrors the reference eval protocol (BASELINE.md): denseatt
+(the reference's best AIC model), vocab 9487+1, rnn_size 512, 14x14=196-slot
+att grid of 2048-d features, batch 50, max caption length 16, beam 3. The
+whole decode — attention family forward, diverse beam bookkeeping, EOS
+handling — is one compiled on-device program (ops/beam_search.py); the
+reference runs beam search per image in host Python (AttModel.py:167-196).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-`vs_baseline` divides by 25 captions/sec/GPU — an estimate for the
-reference's host-looped per-image beam=3 decode on its era GPU (the
-reference checks in no throughput numbers, SURVEY.md §6); revisit when a
-measured torch baseline exists.
+Prints ONE JSON line. Required fields: metric/value/unit/vs_baseline.
+`vs_baseline` divides by a MEASURED number (bench_baseline.py, cached in
+BASELINE_MEASURED.json): the throughput of the reference's host-side beam
+bookkeeping alone (model step stubbed out) on this host — an upper bound on
+the reference architecture's throughput on ANY accelerator, so the reported
+speedup is a LOWER bound. The full torch-on-this-host decode and analytic
+MFU/FLOPs plus training-step tokens/s (XE and SCST) ride along as extra
+fields.
 """
 
 import json
-import os
 import time
 
 import numpy as np
 
-BASELINE_CAPS_PER_SEC = 25.0  # estimated reference GPU throughput at beam=3
+B, N, V, H, E, FC, ATT, AHID = 50, 196, 9487, 512, 512, 2048, 2048, 512
+T = 16
+BEAM = 3
+# bf16 peak of one v5e chip (the bench device); used only for the MFU field
+PEAK_FLOPS = 197e12
+
+
+def decode_flops_per_caption() -> float:
+    """Analytic MAC-based FLOPs (x2) for one denseatt beam-3 caption:
+    3 maxout LSTMs, 2 additive attentions over N slots, emb2/fusions, logit,
+    plus the per-image prepare (att_embed/ctx2att/fc_embed)."""
+    lstm = 2 * ((E + H + H) * 5 * H + 2 * (2 * H + H) * 5 * H)  # lstm0,1,2
+    att = 2 * (2 * (H * AHID + N * AHID + N * H))               # att1 + att2
+    small = 2 * (H * H + 2 * H * H + 3 * H * H)                 # emb2+fusions
+    logit = 2 * (H * (V + 1))
+    step = lstm + att + small + logit
+    prepare = 2 * (N * ATT * H + N * H * AHID + FC * H)
+    return BEAM * T * step + prepare
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
+    import bench_baseline
     from unpaired_image_captioning_tpu import models
     from unpaired_image_captioning_tpu.config import Config
     from unpaired_image_captioning_tpu.models.base import Features
 
-    cfg = Config(caption_model="denseatt", vocab_size=9487, rnn_size=512,
-                 num_layers=1, input_encoding_size=512, att_hid_size=512,
-                 fc_feat_size=2048, att_feat_size=2048, seq_length=16,
-                 drop_prob_lm=0.5, batch_size=50)
+    cfg = Config(caption_model="denseatt", vocab_size=V, rnn_size=H,
+                 num_layers=1, input_encoding_size=E, att_hid_size=AHID,
+                 fc_feat_size=FC, att_feat_size=ATT, seq_length=T,
+                 drop_prob_lm=0.5, batch_size=B)
     model = models.setup(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
 
-    b, n = cfg.batch_size, 196
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     params = jax.tree.map(
         lambda x: x.astype(dtype) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
@@ -47,46 +66,116 @@ def main():
     def make_batch(i):
         rng = np.random.RandomState(i)
         return Features(
-            fc_feats=jnp.asarray(rng.randn(b, cfg.fc_feat_size), dtype),
-            att_feats=jnp.asarray(rng.randn(b, n, cfg.att_feat_size), dtype),
+            fc_feats=jnp.asarray(rng.randn(B, FC), dtype),
+            att_feats=jnp.asarray(rng.randn(B, N, ATT), dtype),
             attri_feats=None,
-            att_masks=jnp.ones((b, n), jnp.float32),
+            att_masks=jnp.ones((B, N), jnp.float32),
         )
 
     iters = 20
     batches = [make_batch(i) for i in range(iters)]
-    stacked_feats = Features(
+    stacked = Features(
         fc_feats=jnp.stack([ft.fc_feats for ft in batches]),
         att_feats=jnp.stack([ft.att_feats for ft in batches]),
         attri_feats=None,
         att_masks=jnp.stack([ft.att_masks for ft in batches]),
     )
 
-    # the whole val-sweep is ONE device program: scan over the stacked
-    # batches inside jit, one dispatch + one host fetch. This dev
-    # environment's remote-execution tunnel costs ~23 ms per host<->device
-    # round-trip (profiled), which would otherwise swamp the 7.6 ms/batch
-    # device decode (xplane trace)
+    # the whole val-sweep is ONE device program: scan over stacked batches
+    # inside jit, one dispatch + one host fetch (this dev env's remote
+    # tunnel costs ~23 ms per round-trip; device decode is ~7.6 ms/batch)
     @jax.jit
     def sweep(params, feats_all):
         def body(_, ft):
-            res = model.sample_beam(params, ft, beam_size=3)
+            res = model.sample_beam(params, ft, beam_size=BEAM)
             return None, res.seq[:, 0]
         _, seqs = jax.lax.scan(body, None, feats_all)
         return seqs
 
-    _ = np.asarray(sweep(params, stacked_feats))  # compile + warmup
+    _ = np.asarray(sweep(params, stacked))  # compile + warmup
     t0 = time.perf_counter()
-    out = np.asarray(sweep(params, stacked_feats))
+    out = np.asarray(sweep(params, stacked))
     dt = time.perf_counter() - t0
-    assert out.shape == (iters, b, cfg.seq_length)
-    caps_per_sec = b * iters / dt
+    assert out.shape == (iters, B, T)
+    caps_per_sec = B * iters / dt
+    decode_mfu = caps_per_sec * decode_flops_per_caption() / PEAK_FLOPS
+
+    # ---- training-step throughput (XE and SCST), device-resident loop ----
+    from unpaired_image_captioning_tpu.ops.cider import empty_df_table
+    from unpaired_image_captioning_tpu.train.trainer import Trainer
+
+    tcfg = Config(caption_model="denseatt", vocab_size=V, rnn_size=H,
+                  num_layers=1, input_encoding_size=E, att_hid_size=AHID,
+                  fc_feat_size=FC, att_feat_size=ATT, seq_length=T,
+                  drop_prob_lm=0.5, batch_size=B, seq_per_img=1,
+                  i2t_train_flag=True, nmt_train_flag=False,
+                  checkpoint_path="/tmp/bench_save")
+    tr = Trainer(tcfg, df_table=empty_df_table())
+    rng = np.random.RandomState(0)
+    batch = {
+        "fc_feats": jnp.asarray(rng.randn(B, FC), dtype),
+        "att_feats": jnp.asarray(rng.randn(B, N, ATT), dtype),
+        "attri_feats": None,
+        "att_masks": jnp.ones((B, N), jnp.float32),
+        "labels": jnp.asarray(
+            rng.randint(1, V, (B, T + 2)).astype(np.int32)).at[:, 0].set(0),
+        "masks": jnp.ones((B, T + 2), jnp.float32),
+        "gts": jnp.asarray(rng.randint(1, V, (B, 5, T)).astype(np.int32)),
+        "gts_masks": jnp.ones((B, 5), jnp.float32),
+    }
+
+    def train_tput(rl: bool, n_steps: int) -> float:
+        step = tr._build_step(rl=rl)
+
+        @jax.jit
+        def loop(p, opt, batch, rng0):
+            def body(carry, i):
+                p, opt = carry
+                p, _, opt, _, m = step(p, None, opt, None, batch,
+                                       jnp.float32(4e-4), jnp.float32(1e-3),
+                                       jnp.float32(0.0),
+                                       jax.random.fold_in(rng0, i))
+                return (p, opt), m["total_loss"]
+            (p, opt), losses = jax.lax.scan(body, (p, opt),
+                                            jnp.arange(n_steps))
+            return p, opt, losses
+
+        p = jax.tree.map(jnp.array, tr.i2t_params)  # fresh, donate-safe
+        opt = tr.optim.i2t_state
+        r = jax.random.PRNGKey(7)
+        _, _, l0 = loop(p, opt, batch, r)
+        np.asarray(l0)  # compile + warmup, force completion
+        p = jax.tree.map(jnp.array, tr.i2t_params)
+        t0 = time.perf_counter()
+        _, _, losses = loop(p, opt, batch, r)
+        np.asarray(losses)
+        dt = time.perf_counter() - t0
+        return B * (T + 1) * n_steps / dt  # predicted tokens per step
+
+    xe_tokens_per_sec = train_tput(rl=False, n_steps=10)
+    scst_tokens_per_sec = train_tput(rl=True, n_steps=5)
+    # fwd+bwd ~= 3x forward; per-token forward ~= one decode step at beam 1
+    step_flops = (decode_flops_per_caption() - 0) / (BEAM * T)
+    train_mfu = xe_tokens_per_sec * 3 * step_flops / PEAK_FLOPS
+
+    baseline = bench_baseline.load_or_measure()
+    denom = baseline.get("host_bound_caps_per_sec") or 25.0
 
     print(json.dumps({
         "metric": "captions_per_sec_per_chip_beam3_denseatt",
         "value": round(caps_per_sec, 2),
         "unit": "captions/s",
-        "vs_baseline": round(caps_per_sec / BASELINE_CAPS_PER_SEC, 2),
+        "vs_baseline": round(caps_per_sec / denom, 2),
+        "baseline_host_bound_caps_per_sec": denom,
+        "baseline_torch_cpu_caps_per_sec": baseline.get(
+            "torch_cpu_caps_per_sec"),
+        "decode_gflops_per_caption": round(
+            decode_flops_per_caption() / 1e9, 3),
+        "decode_mfu_pct_v5e_bf16": round(100 * decode_mfu, 2),
+        "train_xe_tokens_per_sec": round(xe_tokens_per_sec, 1),
+        "train_scst_tokens_per_sec": round(scst_tokens_per_sec, 1),
+        "train_xe_mfu_pct_v5e_bf16": round(100 * train_mfu, 2),
+        "backend": __import__("jax").default_backend(),
     }))
 
 

@@ -23,3 +23,18 @@ def test_d_disambiguation():
 def test_generic_suffixes():
     assert expand_sentence("dogs can't fly") == "dogs cannot fly"
     assert expand_sentence("we'll go") == "we will go"
+
+
+def test_compound_contractions_and_argmax_defaults():
+    """Full-table coverage: compound ('d've / n't've) forms, the ambiguous
+    rows collapse to the reference tables' argmax ('ll -> will, ain't ->
+    is not, 'd -> would unless a past participle follows)."""
+    from unpaired_image_captioning_tpu.utils.expander import expand_sentence
+
+    assert expand_sentence("she'd've gone") == "she would have gone"
+    assert expand_sentence("couldn't've been") == "could not have been"
+    assert expand_sentence("it ain't here") == "it is not here"
+    assert expand_sentence("the dog'll run") == "the dog will run"
+    assert expand_sentence("he'd like it") == "he would like it"
+    assert expand_sentence("he'd gone home") == "he had gone home"
+    assert expand_sentence("y'all'd've known") == "you all would have known"

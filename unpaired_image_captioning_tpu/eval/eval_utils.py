@@ -44,13 +44,28 @@ def language_eval(dataset_type: str, preds: List[dict], model_id: str,
     by default."""
     from .metrics import Bleu, Cider, Meteor, Rouge, Spice
 
+    if dataset_type == "zh":
+        # the reference's zh stack (AI_Challenger pycx scorer) segments
+        # captions itself before scoring (jieba, per-char fallback); accept
+        # both raw and pre-segmented zh input so the two agree
+        from ..scripts.prepro_split_tokenize import segment_zh
+
+        def _norm(s: str) -> str:
+            s = s.strip()
+            if " " not in s and any("一" <= ch <= "鿿" for ch in s):
+                return " ".join(segment_zh(s))
+            return s
+    else:
+        def _norm(s: str) -> str:
+            return s
+
     gts = {}
     res = {}
     for p in preds:
         iid = p["image_id"]
         if iid in references:
-            gts[iid] = references[iid]
-            res[iid] = [p["caption"]]
+            gts[iid] = [_norm(r) for r in references[iid]]
+            res[iid] = [_norm(p["caption"])]
     if not gts:
         return {"error": 1}
 
