@@ -175,24 +175,39 @@ def _align(hyp: List[str], ref: List[str], synonyms=None, paraphrases=None
     return m_word + extra_h, m_word + extra_r, chunks + extra_chunks
 
 
-def meteor_score(hyp: str, refs: List[str], synonyms=None,
-                 paraphrases=None) -> float:
+def _score_from_stats(m_h, m_r, chunks, len_h, len_r) -> float:
+    if m_h == 0 or m_r == 0 or len_h == 0 or len_r == 0:
+        return 0.0
+    p = min(m_h / len_h, 1.0)
+    rec = min(m_r / len_r, 1.0)
+    fmean = p * rec / (ALPHA * p + (1 - ALPHA) * rec)
+    frag = chunks / ((m_h + m_r) / 2.0)
+    penalty = GAMMA * (min(frag, 1.0) ** BETA)
+    return fmean * (1.0 - penalty)
+
+
+def meteor_stats(hyp: str, refs: List[str], synonyms=None, paraphrases=None):
+    """Best-reference alignment statistics (m_h, m_r, chunks, len_h, len_r)
+    for one segment — the quantity METEOR accumulates for its corpus-level
+    ('final') score."""
     h = _norm(hyp)
-    best = 0.0
+    best = (0, 0, 0, max(len(h), 1), 1)
+    best_score = -1.0
     for ref in refs:
         r = _norm(ref)
         if not h or not r:
             continue
         m_h, m_r, chunks = _align(h, r, synonyms, paraphrases)
-        if m_h == 0 or m_r == 0:
-            continue
-        p = min(m_h / len(h), 1.0)
-        rec = min(m_r / len(r), 1.0)
-        fmean = p * rec / (ALPHA * p + (1 - ALPHA) * rec)
-        frag = chunks / ((m_h + m_r) / 2.0)
-        penalty = GAMMA * (min(frag, 1.0) ** BETA)
-        best = max(best, fmean * (1.0 - penalty))
+        s = _score_from_stats(m_h, m_r, chunks, len(h), len(r))
+        if s > best_score:
+            best_score = s
+            best = (m_h, m_r, chunks, len(h), len(r))
     return best
+
+
+def meteor_score(hyp: str, refs: List[str], synonyms=None,
+                 paraphrases=None) -> float:
+    return _score_from_stats(*meteor_stats(hyp, refs, synonyms, paraphrases))
 
 
 def _norm(s: str) -> List[str]:
@@ -216,10 +231,21 @@ class Meteor:
         self.paraphrases = paraphrases
 
     def compute_score(self, gts: Dict, res: Dict) -> Tuple[float, List[float]]:
+        """Corpus score from ACCUMULATED best-alignment statistics, per-image
+        scores from each segment's own stats — the jar's aggregation (its
+        'final' score is NOT the mean of segment scores: the reference's
+        checked-in denseatt artifact shows overall METEOR 0.417 vs per-image
+        mean 0.445; tests/test_golden_format.py pins this relationship)."""
         ids = sorted(gts.keys())
-        scores = [meteor_score(res[i][0], gts[i], self.synonyms,
-                               self.paraphrases) for i in ids]
-        return sum(scores) / max(len(scores), 1), scores
+        scores = []
+        agg = [0, 0, 0, 0, 0]
+        for i in ids:
+            st = meteor_stats(res[i][0], gts[i], self.synonyms,
+                              self.paraphrases)
+            scores.append(_score_from_stats(*st))
+            for j in range(5):
+                agg[j] += st[j]
+        return _score_from_stats(*agg), scores
 
     def method(self):
         return "METEOR"
