@@ -75,6 +75,32 @@ def _expand_to_beams(tree, beam_size: int, no_expand=()):
     return jax.tree.map(expand, tree)
 
 
+def _flat_topk(total_flat, k_rows: int, topn: int):
+    """Per-image top-`topn` over `k_rows` beam rows of a flat `[B*K, V]`
+    score matrix, without materializing a `[B, K*V]` relayout.
+
+    Equivalent to `lax.top_k(total.reshape(B, K*V), topn)` INCLUDING tie
+    semantics (value desc, flat index asc): per-row top-k orders equal
+    values by column ascending, and the merge list is row-major so equal
+    values across rows resolve to the lower beam row. At most `topn`
+    winners can come from one row, so per-row top-`topn` is lossless.
+
+    Why: reshaping the step's natural `[B*K, V]` logprob layout to
+    `[B, K, V]` forces XLA relayout copies inside the decode loop
+    (profiled at ~25% of non-attention step time on v5e); two-stage top-k
+    keeps every heavy op on the natural layout. Returns
+    (scores `[B, topn]` f32, flat indices `[B, topn]` i32 in `[0, K*V)`).
+    """
+    rows, v = total_flat.shape
+    batch = rows // k_rows
+    rv, rc = jax.lax.top_k(total_flat, topn)              # [B*K, topn]
+    rv2 = rv.reshape(batch, k_rows * topn)
+    flat = (jnp.arange(k_rows, dtype=jnp.int32)[None, :, None] * v
+            + rc.reshape(batch, k_rows, topn)).reshape(batch, k_rows * topn)
+    sel, m = jax.lax.top_k(rv2, topn)                     # [B, topn]
+    return sel, jnp.take_along_axis(flat, m, axis=1)
+
+
 def beam_search(
     step_fn: Callable,
     params,
@@ -113,6 +139,7 @@ def beam_search(
     state = _expand_to_beams(state0, K)
 
     cum = jnp.zeros((batch, G, bd), jnp.float32)
+    use_flat_select = G == 1  # single-group hot path (see _flat_topk)
     it = jnp.full((batch, G, bd), bos_token, jnp.int32)
     seq_buf = jnp.zeros((batch, G, bd, T), jnp.int32)
     logp_buf = jnp.zeros((batch, G, bd, T), jnp.float32)
@@ -270,6 +297,96 @@ def beam_search(
                  nfr, nfs, nfq, nfl, nfa)
         return carry, None
 
+    def body_fast(carry, t):
+        """G == 1 specialization of `body`: same semantics (g = 0, a single
+        always-active group), but selection runs on the step's natural
+        `[B*K, V]` layout via `_flat_topk` — no `[B, G, bd, V]` reshape, no
+        relayout copies in the hot loop. Kept in lockstep with `body`;
+        parity-tested against the naive reference in
+        tests/test_beam_search.py."""
+        (state, cum, it, seq_buf, logp_buf, aux_buf,
+         fin_rank, fin_score, fin_seq, fin_logp, fin_aux) = carry[:11]
+
+        it_flat = it.reshape(batch * K)
+        logprobs_flat, new_state = step_fn(params, ctx, state, it_flat)
+        V = logprobs_flat.shape[-1]
+        lp_flat = logprobs_flat.astype(jnp.float32)       # [B*K, V]
+        aux_now = (record_aux_from_state(new_state).astype(jnp.int32)
+                   .reshape(batch, bd) if record_aux_from_state else None)
+
+        if suppress_unk:
+            lp_flat = lp_flat.at[:, V - 1].add(-1000.0)
+
+        aug_flat = lp_flat
+        if decoding_constraint:
+            no_prev = jnp.where(t > 0, NEG_INF, 0.0)
+            aug_flat = aug_flat.at[jnp.arange(batch * K), it_flat].add(no_prev)
+
+        total_flat = aug_flat + cum.reshape(batch * K, 1)
+        # local t=0: only beam 0 participates (all beams start equal)
+        row_is_b0 = (jnp.arange(batch * K) % bd) == 0
+        beam_mask = jnp.where(t == 0,
+                              jnp.where(row_is_b0, 0.0, NEG_INF),
+                              jnp.zeros((batch * K,)))
+        total_flat = total_flat + beam_mask[:, None]
+
+        sel_score, sel_idx = _flat_topk(total_flat, bd, bd)   # [B, bd]
+        parent = sel_idx // V
+        tok = (sel_idx % V).astype(jnp.int32)
+        tok_unaug = jnp.take_along_axis(
+            lp_flat.reshape(batch, bd * V), sel_idx, axis=1)
+        tok_aug = (tok_unaug if aug_flat is lp_flat else jnp.take_along_axis(
+            aug_flat.reshape(batch, bd * V), sel_idx, axis=1))
+        cum_g = jnp.take_along_axis(cum[:, 0], parent, axis=1) + tok_aug
+
+        def reorder_write(buf_g, value):
+            re = jnp.take_along_axis(buf_g, parent[..., None], axis=1)
+            write = arangeT[None, None, :] == t
+            return jnp.where(write, value[..., None], re)
+
+        seq_g = reorder_write(seq_buf[:, 0], tok)
+        logp_g = reorder_write(logp_buf[:, 0], tok_unaug)
+
+        is_eos = tok == eos_token
+        finishing = jnp.logical_or(is_eos, t == (T - 1))
+        length = (t + 1).astype(jnp.float32)
+        cand_score = jnp.where(finishing, cum_g, NEG_INF)
+        cand_rank = cand_score / length if max_ppl else cand_score
+
+        merged_rank = jnp.concatenate([fin_rank[:, 0], cand_rank], axis=1)
+        merged_score = jnp.concatenate([fin_score[:, 0], cand_score], axis=1)
+        merged_seq = jnp.concatenate([fin_seq[:, 0], seq_g], axis=1)
+        merged_logp = jnp.concatenate([fin_logp[:, 0], logp_g], axis=1)
+        top_rank, top_idx = jax.lax.top_k(merged_rank, bd)
+        gather2 = lambda m: jnp.take_along_axis(m, top_idx, axis=1)
+        gather3 = lambda m: jnp.take_along_axis(m, top_idx[..., None], axis=1)
+        nfr = fin_rank.at[:, 0].set(top_rank)
+        nfs = fin_score.at[:, 0].set(gather2(merged_score))
+        nfq = fin_seq.at[:, 0].set(gather3(merged_seq))
+        nfl = fin_logp.at[:, 0].set(gather3(merged_logp))
+
+        new_aux = aux_buf
+        nfa = fin_aux
+        if record_aux_from_state:
+            aux_g = reorder_write(aux_buf[:, 0], aux_now)
+            merged_aux = jnp.concatenate([fin_aux[:, 0], aux_g], axis=1)
+            nfa = fin_aux.at[:, 0].set(gather3(merged_aux))
+            new_aux = aux_buf.at[:, 0].set(aux_g)
+
+        cum_g = jnp.where(is_eos, jnp.float32(DEAD), cum_g)
+
+        gather_idx = ((jnp.arange(batch) * K)[:, None] + parent).reshape(batch * K)
+        state_next = jax.tree.map(
+            lambda nl: jnp.take(nl, gather_idx, axis=0), new_state)
+
+        carry = (state_next, cum.at[:, 0].set(cum_g), tok[:, None, :],
+                 seq_buf.at[:, 0].set(seq_g), logp_buf.at[:, 0].set(logp_g),
+                 new_aux, nfr, nfs, nfq, nfl, nfa)
+        return carry, None
+
+    if use_flat_select:
+        body = body_fast
+
     carry0 = (state, cum, it, seq_buf, logp_buf, aux_buf,
               fin_rank, fin_score, fin_seq, fin_logp, fin_aux)
 
@@ -348,21 +465,24 @@ def onmt_beam_search(
         t, state, cum, it, seq_buf, logp_buf, aux_buf, done = carry
         lp_flat, new_state = step_fn(params, ctx, state, it.reshape(batch * K))
         V = lp_flat.shape[-1]
-        lp = lp_flat.astype(jnp.float32).reshape(batch, K, V)
+        lp_flat = lp_flat.astype(jnp.float32)             # [B*K, V]
         aux_now = (record_aux_from_state(new_state).astype(jnp.int32)
                    .reshape(batch, K) if record_aux_from_state else None)
 
-        total = cum[..., None] + lp
-        # t=0: beamLk = wordLk[0] only (Beam.py:66-68)
+        # t=0: beamLk = wordLk[0] only (Beam.py:66-68). Selection runs on
+        # the step's natural [B*K, V] layout (_flat_topk) — the [B, K, V]
+        # reshape forces relayout copies in the decode loop.
+        row_is_b0 = (jnp.arange(batch * K) % K) == 0
         row_mask = jnp.where(
-            t == 0, jnp.where(jnp.arange(K) == 0, 0.0, NEG_INF),
-            jnp.zeros((K,)))
-        total = total + row_mask[None, :, None]
+            t == 0, jnp.where(row_is_b0, 0.0, NEG_INF),
+            jnp.zeros((batch * K,)))
+        total_flat = lp_flat + cum.reshape(batch * K, 1) + row_mask[:, None]
 
-        sel_score, sel_idx = jax.lax.top_k(total.reshape(batch, K * V), K)
+        sel_score, sel_idx = _flat_topk(total_flat, K, K)
         parent = sel_idx // V
         tok = (sel_idx % V).astype(jnp.int32)
-        tok_lp = jnp.take_along_axis(lp.reshape(batch, K * V), sel_idx, axis=1)
+        tok_lp = jnp.take_along_axis(
+            lp_flat.reshape(batch, K * V), sel_idx, axis=1)
 
         def reorder_write(buf, value):
             re = jnp.take_along_axis(buf, parent[..., None], axis=1)
