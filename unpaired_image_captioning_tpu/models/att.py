@@ -63,9 +63,14 @@ def attention_apply(p, h, att_emb, p_att, att_masks):
     bq = h.shape[0]
     bm = p_att.shape[0]
     if bq != bm:
+        # K-beam unexpanded path: v5e microbench at B=50/K=3/N=196/A=512
+        # (sequential-dependency sweep, per invocation): XLA einsum 80 us,
+        # Pallas vpu-reduce K-beam kernel 89 us, Pallas K-unrolled kernel
+        # 198 us, expanded production kernel 138-186 us. XLA's own fusion
+        # of tanh into the reducing einsum wins — keep the kernel opt-in.
         k = bq // bm
         att_hk = att_h.reshape(bm, k, -1)
-        if jax.default_backend() == "tpu":
+        if BEAMS_KERNEL and jax.default_backend() == "tpu":
             from ..ops.attention import fused_additive_attention_beams
 
             mask = (att_masks if att_masks is not None
@@ -73,7 +78,8 @@ def attention_apply(p, h, att_emb, p_att, att_masks):
             out = fused_additive_attention_beams(
                 p_att, att_hk, p["alpha_net"]["w"], mask, att_emb)
             return out.reshape(bq, -1)
-        dot = jnp.tanh(p_att[:, None, :, :] + att_hk[:, :, None, :])  # [B,K,N,A]
+        dot = jnp.tanh(p_att[:, None, :, :].astype(jnp.float32)
+                       + att_hk[:, :, None, :].astype(jnp.float32))  # [B,K,N,A]
         scores = linear(p["alpha_net"], dot)[..., 0]                  # [B,K,N]
         mask = att_masks[:, None, :] if att_masks is not None else None
         weight = masked_softmax(scores.astype(jnp.float32), mask)
@@ -195,8 +201,13 @@ def _rngs(rng, n):
 # v5e at beam=3: fused [4645, 4299] vs unfused [4771, 4686] caps/s — the
 # monolithic kernel's larger VMEM footprint pipelines worse than two lean
 # attention kernels, so fusion defaults OFF; kept (tested) for future
-# tuning on other shapes.
+# tuning on other shapes. (Only reachable with expanded beam memory; the
+# default beam layout is now unexpanded — see beam_ctx_no_expand.)
 STEP_FUSION = False
+
+# K-beam attention kernel toggle: OFF — the XLA einsum on the unexpanded
+# layout measures faster (see attention_apply); kernel kept for A/B.
+BEAMS_KERNEL = False
 
 
 # ---------------------------------------------------------------------------
@@ -271,14 +282,14 @@ class AttModel(CaptionDecoder):
 
     @property
     def beam_ctx_no_expand(self) -> tuple:
-        # The unexpanded-memory path (("att", "p_att", "masks") — beams of
-        # one image share the attention memory) A/B on v5e (denseatt-512,
-        # 196 slots, batch 50, per-dispatch medians): beam=3 33.2 vs 33.3 ms
-        # (wash), beam=5 40.2 vs 37.2 ms (shared 7% SLOWER — the K-unrolled
-        # kernel serializes VPU work); keep expansion by default. The
-        # transformer family is the opposite (see transformer.py
-        # CROSS_KV_SHARE): its cross-K/V is larger and read by MXU einsums.
-        return ()
+        # Beams of one image SHARE the attention memory (read once per
+        # image per step instead of once per beam). The round-1 A/B that
+        # kept expansion was per-dispatch (tunnel-RTT-dominated, ~23 ms
+        # constant swamped the ~0.1 ms/step difference); the round-2
+        # single-dispatch sweep + xplane trace shows the expanded kernels
+        # were 63% of decode device time, and the unexpanded XLA einsum
+        # runs the same attention in 80 us vs 138-186 us (attention_apply).
+        return ("att", "p_att", "masks")
 
     # ---- decode interface ----
     def make_decoder(self, params, feats: Features, *, training: bool = False,
