@@ -85,14 +85,15 @@ def attention_apply(p, h, att_emb, p_att, att_masks):
         weight = masked_softmax(scores.astype(jnp.float32), mask)
         out = jnp.einsum("bkn,bnd->bkd", weight.astype(att_emb.dtype), att_emb)
         return out.reshape(bq, -1)
-    if jax.default_backend() == "tpu":
+    if SINGLE_KERNEL and jax.default_backend() == "tpu":
         from ..ops.attention import fused_additive_attention
 
         mask = (att_masks if att_masks is not None
                 else jnp.ones(p_att.shape[:2], jnp.float32))
         return fused_additive_attention(p_att, att_h, p["alpha_net"]["w"],
                                         mask, att_emb)
-    dot = jnp.tanh(p_att + att_h[:, None, :])                       # [B,N,A]
+    dot = jnp.tanh(p_att.astype(jnp.float32)
+                   + att_h.astype(jnp.float32)[:, None, :])         # [B,N,A]
     scores = linear(p["alpha_net"], dot)[..., 0]                    # [B,N]
     weight = masked_softmax(scores.astype(jnp.float32), att_masks)  # [B,N]
     return jnp.einsum("bn,bnd->bd", weight.astype(att_emb.dtype), att_emb)
@@ -208,6 +209,12 @@ STEP_FUSION = False
 # K-beam attention kernel toggle: OFF — the XLA einsum on the unexpanded
 # layout measures faster (see attention_apply); kernel kept for A/B.
 BEAMS_KERNEL = False
+
+# Single-query attention kernel toggle: OFF — v5e microbench at B=50,
+# N=196, A=D=512 (chained-invocation sweep): XLA 80 us vs Pallas 105 us.
+# The Mosaic kernel materializes f32 intermediates between VPU passes and
+# MXU calls; XLA fuses convert+add+tanh into the reducing matmul.
+SINGLE_KERNEL = False
 
 
 # ---------------------------------------------------------------------------

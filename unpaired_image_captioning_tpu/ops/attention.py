@@ -1,12 +1,22 @@
-"""Fused additive attention kernel.
+"""Fused additive attention kernels (OPT-IN — see models/att.py flags).
 
 The reference's Attention (AttModel.py:529-558) computes
 `alpha_net(tanh(p_att + h2att(h)))` → softmax → masked renormalize →
-weighted sum. Under XLA the `[B, N, A]` tanh intermediate round-trips HBM
-every decode step — profiling on v5e shows this dominating beam decode
-(~0.65 ms per application at B*K=150, N=196, A=512, ~17x the bandwidth
-minimum). This kernel fuses score computation, masked softmax, and the
-weighted sum into one VMEM pass: `p_att` and `att_emb` are each read once.
+weighted sum. These Pallas kernels fuse score computation, masked softmax,
+and the weighted sum into one VMEM-resident pass.
+
+Round-2 status: a sequential-dependency microbench on v5e (512 chained
+invocations in ONE dispatch, so the ~23 ms tunnel RTT cannot swamp the
+comparison) shows current XLA fuses this op BETTER than these kernels:
+at B=50/K=3/N=196/A=D=512 the XLA einsum runs 80 us/invocation vs 105 us
+(single-query kernel) / 186 us (expanded) / 198 us (K-unrolled beams
+kernel). The kernels materialize f32 intermediates between VPU passes and
+MXU calls; XLA streams convert+add+tanh into the reducing matmul. tanh is
+not the bottleneck (a no-tanh kernel variant measures the same). The
+production decode therefore uses the XLA path on the UNEXPANDED beam
+layout (models/att.py attention_apply, beam_ctx_no_expand); the kernels
+stay available behind att.SINGLE_KERNEL / att.BEAMS_KERNEL for re-A/B on
+future shapes or compiler versions.
 
 Semantics notes: the alpha_net bias is dropped (softmax is shift-invariant)
 and the mask uses the reference's multiply-then-renormalize form.
