@@ -91,9 +91,11 @@ def _flat_topk(total_flat, k_rows: int, topn: int):
     keeps every heavy op on the natural layout. Returns
     (scores `[B, topn]` f32, flat indices `[B, topn]` i32 in `[0, K*V)`).
     """
+    from .topk import row_topk
+
     rows, v = total_flat.shape
     batch = rows // k_rows
-    rv, rc = jax.lax.top_k(total_flat, topn)              # [B*K, topn]
+    rv, rc = row_topk(total_flat, topn)                   # [B*K, topn]
     rv2 = rv.reshape(batch, k_rows * topn)
     flat = (jnp.arange(k_rows, dtype=jnp.int32)[None, :, None] * v
             + rc.reshape(batch, k_rows, topn)).reshape(batch, k_rows * topn)
@@ -169,7 +171,9 @@ def beam_search(
         if suppress_unk:
             # UNK is the LAST vocab slot in the caption convention
             # (CaptionModel.py:133); part of the *unaugmented* values.
-            lp = lp.at[..., V - 1].add(-1000.0)
+            unk_col = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, 1, V), 3) == (V - 1)
+            lp = jnp.where(unk_col, lp - 1000.0, lp)
 
         parents = jnp.zeros((batch, G, bd), jnp.int32)
         toks = jnp.zeros((batch, G, bd), jnp.int32)
@@ -315,7 +319,10 @@ def beam_search(
                    .reshape(batch, bd) if record_aux_from_state else None)
 
         if suppress_unk:
-            lp_flat = lp_flat.at[:, V - 1].add(-1000.0)
+            # as a fused select, not .at[].add — a dynamic-update-slice of
+            # the full [B*K, V] buffer forces a copy every decode step
+            unk_col = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1) == (V - 1)
+            lp_flat = jnp.where(unk_col, lp_flat - 1000.0, lp_flat)
 
         aug_flat = lp_flat
         if decoding_constraint:
