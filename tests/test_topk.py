@@ -7,7 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from unpaired_image_captioning_tpu.ops.topk import _row_topk_pallas
+from unpaired_image_captioning_tpu.ops.topk import (_chunked_topk,
+                                                    _row_topk_pallas)
 
 
 @pytest.mark.parametrize("k", [1, 3, 5, 15])
@@ -42,3 +43,41 @@ def test_row_topk_handles_neg_inf_rows():
     rv, ri = jax.lax.top_k(jnp.asarray(x), 2)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
     np.testing.assert_array_equal(np.asarray(v), np.asarray(rv))
+
+
+@pytest.mark.parametrize("k", [9, 15])
+@pytest.mark.parametrize("v", [2048, 3001])  # 128-multiple and ragged
+def test_chunked_topk_matches_lax(k, v):
+    rng = np.random.RandomState(v + k)
+    x = jnp.asarray(rng.randn(16, v).astype(np.float32))
+    cv, ci = _chunked_topk(x, k, interpret=True)
+    rv, ri = jax.lax.top_k(x, k)
+    np.testing.assert_array_equal(np.asarray(cv), np.asarray(rv))
+    np.testing.assert_array_equal(np.asarray(ci), np.asarray(ri))
+
+
+def test_chunked_topk_hoarding_chunk():
+    # one chunk holds MOST of the global top-k: the chunk-max reduction
+    # must still keep every needed chunk (correctness proof in the
+    # docstring) and re-rank by true flat index
+    x = np.full((8, 2048), -10.0, np.float32)
+    x[:, 256:266] = np.linspace(100, 91, 10, dtype=np.float32)  # chunk 2
+    x[:, 5] = 95.0       # chunk 0 interleaves
+    x[:, 2000] = 94.5    # chunk 15
+    cv, ci = _chunked_topk(jnp.asarray(x), 12, interpret=True)
+    rv, ri = jax.lax.top_k(jnp.asarray(x), 12)
+    np.testing.assert_array_equal(np.asarray(cv), np.asarray(rv))
+    np.testing.assert_array_equal(np.asarray(ci), np.asarray(ri))
+
+
+def test_chunked_topk_cross_chunk_ties():
+    # equal values straddling chunk boundaries resolve to the lowest flat
+    # index, exactly like lax.top_k
+    x = np.full((8, 2048), -1.0, np.float32)
+    for col in (127, 128, 129, 700, 1900):
+        x[:, col] = 7.0
+    x[:, 40] = 9.0
+    cv, ci = _chunked_topk(jnp.asarray(x), 10, interpret=True)
+    rv, ri = jax.lax.top_k(jnp.asarray(x), 10)
+    np.testing.assert_array_equal(np.asarray(ci), np.asarray(ri))
+    np.testing.assert_array_equal(np.asarray(cv), np.asarray(rv))
