@@ -30,9 +30,12 @@ from jax.experimental.pallas import tpu as pltpu
 # iterative masked-argmax is O(k) full passes over the row block, yet it
 # wins every measured beam shape. v5e, NMT beam-15 translate ms/batch
 # ([750,8571] k=15 selection): iterative 12.5, chunked two-stage 15.0
-# (the candidate gather is expensive), XLA sort-based top-k 20.5. The
-# chunked reduction is kept for very large k where O(k) full passes must
-# lose eventually.
+# (the candidate gather is expensive), XLA sort-based top-k 20.5. Also
+# A/B'd and rejected (15.6): a no-rewrite variant that excludes extracted
+# elements via one lexicographic compare against the last (value, index)
+# pair — the extra per-element predicate ops cost more than the masked
+# buffer rewrite. The chunked reduction is kept for very large k where
+# O(k) full passes must lose eventually.
 MAX_ITERATIVE_K = 16
 CHUNK = 128
 
