@@ -160,8 +160,8 @@ def main():
         dt = time.perf_counter() - t0
         return B * (T + 1) * n_steps / dt  # predicted tokens per step
 
-    xe_tokens_per_sec = train_tput(rl=False, n_steps=10)
-    scst_tokens_per_sec = train_tput(rl=True, n_steps=5)
+    xe_tokens_per_sec = train_tput(rl=False, n_steps=40)
+    scst_tokens_per_sec = train_tput(rl=True, n_steps=20)
     # fwd+bwd ~= 3x forward; per-token forward ~= one decode step at beam 1
     step_flops = (decode_flops_per_caption() - 0) / (BEAM * T)
     train_mfu = xe_tokens_per_sec * 3 * step_flops / PEAK_FLOPS

@@ -49,15 +49,21 @@ def attention_init(rng, rnn_size: int, att_hid_size: int) -> dict:
     }
 
 
-def attention_apply(p, h, att_emb, p_att, att_masks):
+def attention_apply(p, h, att_emb, p_att, att_masks, training: bool = False):
     """Additive attention (parity: AttModel.py:529-558).
 
     h: [B*K, H] queries; att_emb: [B, N, D]; p_att: [B, N, A]; att_masks:
     [B, N] or None. When K > 1 (beam search with unexpanded memory —
     ops/beam_search ctx_no_expand) the memory is read once per image and
     broadcast over the K beams. Softmax over N, then multiplicative mask +
-    renormalize (NOT -inf mask). On TPU the K==1 case runs as one fused
-    Pallas pass (ops/attention.py).
+    renormalize (NOT -inf mask).
+
+    Routing (v5e-measured, see TRAIN_KERNEL/SINGLE_KERNEL): decode runs
+    the XLA einsum (XLA's fusion beats the Pallas kernels forward-only);
+    the differentiated training path runs the Pallas kernel, whose custom
+    VJP keeps only the small raw inputs as residuals — XLA autodiff
+    instead saves the [B,N,A] f32 tanh intermediate for backward, which
+    costs 40% of XE step throughput (65k vs 91k tokens/s).
     """
     att_h = linear(p["h2att"], h)                                   # [BK,A]
     bq = h.shape[0]
@@ -85,7 +91,8 @@ def attention_apply(p, h, att_emb, p_att, att_masks):
         weight = masked_softmax(scores.astype(jnp.float32), mask)
         out = jnp.einsum("bkn,bnd->bkd", weight.astype(att_emb.dtype), att_emb)
         return out.reshape(bq, -1)
-    if SINGLE_KERNEL and jax.default_backend() == "tpu":
+    use_kernel = TRAIN_KERNEL if training else SINGLE_KERNEL
+    if use_kernel and jax.default_backend() == "tpu":
         from ..ops.attention import fused_additive_attention
 
         mask = (att_masks if att_masks is not None
@@ -210,11 +217,18 @@ STEP_FUSION = False
 # layout measures faster (see attention_apply); kernel kept for A/B.
 BEAMS_KERNEL = False
 
-# Single-query attention kernel toggle: OFF — v5e microbench at B=50,
-# N=196, A=D=512 (chained-invocation sweep): XLA 80 us vs Pallas 105 us.
-# The Mosaic kernel materializes f32 intermediates between VPU passes and
-# MXU calls; XLA fuses convert+add+tanh into the reducing matmul.
+# Single-query attention kernel at DECODE time: OFF — v5e microbench at
+# B=50, N=196, A=D=512 (chained-invocation sweep): XLA 80 us vs Pallas
+# 105 us. The Mosaic kernel materializes f32 intermediates between VPU
+# passes and MXU calls; XLA fuses convert+add+tanh into the reducing
+# matmul.
 SINGLE_KERNEL = False
+
+# ... but at TRAINING time (differentiated) the kernel is ON: its custom
+# VJP recomputes from the small raw inputs, while XLA autodiff saves the
+# [B,N,A] f32 tanh intermediate as a residual. XE step A/B on v5e
+# (denseatt, batch 50): kernel 91k tokens/s vs XLA 65k.
+TRAIN_KERNEL = True
 
 
 # ---------------------------------------------------------------------------
@@ -375,7 +389,8 @@ class TopDownModel(AttModel):
         att_in = jnp.concatenate([prev_h_lang, ctx["fc"], xt], axis=-1)
         h_att, c_att = rnn.lstm_step(p["att_lstm"], att_in, h[:, 0], c[:, 0])
         att_res = attention_apply(p["attention"], h_att, ctx["att"],
-                                  ctx["p_att"], ctx["masks"])
+                                  ctx["p_att"], ctx["masks"],
+                                  training=training)
         lang_in = jnp.concatenate([att_res, h_att], axis=-1)
         h_lang, c_lang = rnn.lstm_step(p["lang_lstm"], lang_in, h[:, 1], c[:, 1])
         out = dropout(rng, h_lang, self.drop_prob_lm, training)
@@ -417,7 +432,8 @@ class Att2in2Model(AttModel):
         h, c = state
         prev_h, prev_c = h[:, 0], c[:, 0]
         att_res = attention_apply(p["attention"], prev_h, ctx["att"],
-                                  ctx["p_att"], ctx["masks"])
+                                  ctx["p_att"], ctx["masks"],
+                                  training=training)
         hsz = self.rnn_size
         xh = jnp.concatenate([xt, prev_h], axis=-1)
         gates = jnp.dot(xh, p["cell"]["w"], preferred_element_type=jnp.float32)
@@ -481,7 +497,8 @@ class Att2all2Model(AttModel):
         h, c = state
         prev_h, prev_c = h[:, 0], c[:, 0]
         att_res = attention_apply(p["attention"], prev_h, ctx["att"],
-                                  ctx["p_att"], ctx["masks"])
+                                  ctx["p_att"], ctx["masks"],
+                                  training=training)
         hsz = self.rnn_size
         xh = jnp.concatenate([xt, prev_h], axis=-1)
         gates = jnp.dot(xh, p["cell"]["w"], preferred_element_type=jnp.float32)
@@ -656,12 +673,14 @@ class StackAttModel(AttModel):
                 p["att2"]["alpha_net"]["w"])
             return (h0d, h1, att2, r[2],
                     (jnp.stack([h0, h1], 1), jnp.stack([c0, c1], 1)))
-        att1 = attention_apply(p["att1"], h0d, ctx["att"], ctx["p_att"], ctx["masks"])
+        att1 = attention_apply(p["att1"], h0d, ctx["att"], ctx["p_att"],
+                               ctx["masks"], training=training)
         h1, c1 = rnn.lstm_step(p["lstm1"], jnp.concatenate([h0d, att1], -1),
                                h[:, 1], c[:, 1], maxout=True)
         h1d = dropout(r[1], h1, self.drop_prob_lm, training)
         att2 = attention_apply(p["att2"], h1d + linear(p["emb2"], att1),
-                               ctx["att"], ctx["p_att"], ctx["masks"])
+                               ctx["att"], ctx["p_att"], ctx["masks"],
+                               training=training)
         return (h0d, h1d, att2, r[2],
                 (jnp.stack([h0, h1], 1), jnp.stack([c0, c1], 1)))
 
@@ -759,7 +778,8 @@ class ShowAttendTellModel(AttModel):
     def core_step(self, p, xt, ctx, state, *, training, rng):
         h, c = state
         att_res = attention_apply(p["attention"], h[:, -1], ctx["att"],
-                                  ctx["p_att"], ctx["masks"])
+                                  ctx["p_att"], ctx["masks"],
+                                  training=training)
         top, hs, cs = rnn.stacked_lstm_step(
             p["lstm"], jnp.concatenate([xt, att_res], -1),
             jnp.moveaxis(h, 1, 0), jnp.moveaxis(c, 1, 0),

@@ -72,11 +72,13 @@ class StackCapModel(AttModel):
         r = _rngs(rng, 2)
         h0, c0 = rnn.lstm_step(p["lstm0"], jnp.concatenate([xt, ctx["fc"]], -1),
                                h[:, 0], c[:, 0], maxout=True)
-        att1 = attention_apply(p["att1"], h0, ctx["att"], ctx["p_att"], ctx["masks"])
+        att1 = attention_apply(p["att1"], h0, ctx["att"], ctx["p_att"],
+                               ctx["masks"], training=training)
         xa = xt + ctx["attri"]
         h1, c1 = rnn.lstm_step(p["lstm1"], jnp.concatenate([xa, h0, att1], -1),
                                h[:, 1], c[:, 1], maxout=True)
-        att2 = attention_apply(p["att2"], h1, ctx["att"], ctx["p_att"], ctx["masks"])
+        att2 = attention_apply(p["att2"], h1, ctx["att"], ctx["p_att"],
+                               ctx["masks"], training=training)
         fused01 = dropout(r[0], jax.nn.relu(
             linear(p["fusion1"], jnp.concatenate([h0, h1], -1))),
             self.drop_prob_lm, training)
@@ -164,10 +166,10 @@ def sentence_attention_init(rng, rnn_size: int, att_hid: int) -> dict:
     return attention_init(rng, rnn_size, att_hid)
 
 
-def sentence_attention_apply(p, h, hist, hist_mask):
+def sentence_attention_apply(p, h, hist, hist_mask, training: bool = False):
     """h: [B, H] query; hist: [B, T, H] past hiddens; hist_mask: [B, T]."""
     from .att import attention_apply
     from .base import linear
 
     p_hist = linear(p["h2att"], hist)  # project history like ctx2att
-    return attention_apply(p, h, hist, p_hist, hist_mask)
+    return attention_apply(p, h, hist, p_hist, hist_mask, training=training)
