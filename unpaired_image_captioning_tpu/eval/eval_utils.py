@@ -174,8 +174,14 @@ def eval_split(model, params, loader, *, split: str = "val",
                 x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))))
         return jnp.asarray(x)
 
-    losses, n_loss = 0.0, 0
-    predictions = []
+    # Pipelined loop: jax dispatch is async, so device decode of batch i
+    # overlaps host feature loading of batch i+1 and the per-batch results
+    # (device arrays) are only materialized AFTER the loop — one blocking
+    # fetch per sweep instead of one per batch. On the dev tunnel
+    # (~23 ms/round-trip) the per-batch fetch made the harness ~10x slower
+    # than the decode itself; on a TPU VM it still hides dispatch + loader
+    # I/O behind device work.
+    losses_dev, pending = [], []
     seen = set()
     done = False
     while not done:
@@ -191,8 +197,7 @@ def eval_split(model, params, loader, *, split: str = "val",
         if data["masks"].sum() > 0:
             labels = jnp.asarray(data["labels"])
             masks = jnp.asarray(data["masks"])
-            losses += float(xe_loss_fn(params, feats, labels, masks))
-            n_loss += 1
+            losses_dev.append(xe_loss_fn(params, feats, labels, masks))
 
         # one caption per image: take the first of each seq_per_img block
         spi = loader.seq_per_img
@@ -204,17 +209,28 @@ def eval_split(model, params, loader, *, split: str = "val",
         else:
             rng, sub = jax.random.split(rng)
             seq = greedy_fn(params, feats1, sub)
-        caps = decode_sequence(loader.vocab.ix_to_word, np.asarray(seq))
-        for info, cap in zip(data["infos"], caps):
-            if info["id"] in seen:
-                continue
-            seen.add(info["id"])
-            predictions.append({"image_id": info["id"], "caption": cap})
-            if verbose:
-                print(f"image {info['id']}: {cap}")
+        batch_infos = []
+        for info in data["infos"]:
+            fresh = info["id"] not in seen
+            if fresh:
+                seen.add(info["id"])
+            batch_infos.append(info if fresh else None)
+        pending.append((batch_infos, seq))
         # budget bookkeeping with pop-on-wrap (eval_utils.py:287-300)
         if data["bounds"]["wrapped"] or len(seen) >= budget:
             done = True
+
+    predictions = []
+    for batch_infos, seq in pending:
+        caps = decode_sequence(loader.vocab.ix_to_word, np.asarray(seq))
+        for info, cap in zip(batch_infos, caps):
+            if info is None:
+                continue
+            predictions.append({"image_id": info["id"], "caption": cap})
+            if verbose:
+                print(f"image {info['id']}: {cap}")
+    losses = float(sum(np.asarray(l) for l in losses_dev)) if losses_dev else 0.0
+    n_loss = len(losses_dev)
     predictions = predictions[:budget]
 
     lang_stats = None
@@ -287,7 +303,10 @@ def eval_split_coco_unpaired(cap_model, cap_params, nmt_model, nmt_params,
                                cap_beam=cap_beam, nmt_beam=nmt_beam,
                                nmt_max_len=nmt_max_len, src2tgt=s2t)
 
-    zh_preds, en_preds = [], []
+    # pipelined like eval_split: device arrays stay in flight during the
+    # loop (dispatch overlaps loader I/O); all fetch + host post-editing
+    # happens after the sweep
+    pending = []
     seen = set()
     done = False
     while not done:
@@ -300,15 +319,26 @@ def eval_split_coco_unpaired(cap_model, cap_params, nmt_model, nmt_params,
             attri_feats=jnp.asarray(data["attri_feats"][first]),
             att_masks=jnp.asarray(data["att_masks"][first]))
         zh, en, attn = pivot_fn(cap_params, nmt_params, feats)
+        batch_infos = []
+        for info in data["infos"]:
+            fresh = info["id"] not in seen
+            if fresh:
+                seen.add(info["id"])
+            batch_infos.append(info if fresh else None)
+        pending.append((batch_infos, zh, en, attn))
+        if data["bounds"]["wrapped"] or len(seen) >= budget:
+            done = True
+
+    zh_preds, en_preds = [], []
+    itow = coco_loader.vocab.ix_to_word
+    for batch_infos, zh, en, attn in pending:
         zh_np = np.asarray(zh)
         zh_caps = decode_sequence(coco_loader.vocab.ix_to_word, zh_np)
         en_np = np.asarray(en)
         attn_np = np.asarray(attn)
-        itow = coco_loader.vocab.ix_to_word
-        for bi, info in enumerate(data["infos"]):
-            if info["id"] in seen:
+        for bi, info in enumerate(batch_infos):
+            if info is None:
                 continue
-            seen.add(info["id"])
             words = []
             for t, tok in enumerate(en_np[bi]):
                 tok = int(tok)
@@ -328,8 +358,6 @@ def eval_split_coco_unpaired(cap_model, cap_params, nmt_model, nmt_params,
             en_cap = expand_contractions(" ".join(words))
             zh_preds.append({"image_id": info["id"], "caption": zh_caps[bi]})
             en_preds.append({"image_id": info["id"], "caption": en_cap})
-        if data["bounds"]["wrapped"] or len(seen) >= budget:
-            done = True
 
     out = {"zh_predictions": zh_preds[:budget], "en_predictions": en_preds[:budget]}
     if en_refs is not None:
