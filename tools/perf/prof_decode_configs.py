@@ -1,0 +1,71 @@
+"""Transformer caption beam + denseatt greedy throughput on real TPU."""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from unpaired_image_captioning_tpu import models
+from unpaired_image_captioning_tpu.config import Config
+from unpaired_image_captioning_tpu.models.base import Features
+
+B, N, V, FC, ATT, T = 50, 196, 9487, 2048, 2048, 16
+
+
+def run(name, decode):
+    cfg = dict(vocab_size=V, seq_length=T, fc_feat_size=FC, att_feat_size=ATT,
+               drop_prob_lm=0.5, batch_size=B)
+    if name == "transformer":
+        cfg.update(caption_model="transformer", input_encoding_size=512,
+                   rnn_size=512, num_layers=6, att_hid_size=512)
+    else:
+        cfg.update(caption_model="denseatt", input_encoding_size=512,
+                   rnn_size=512, num_layers=1, att_hid_size=512)
+    model = models.setup(Config(**cfg))
+    params = model.init_params(jax.random.PRNGKey(0))
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    params = jax.tree.map(
+        lambda x: x.astype(dtype) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        params)
+    rng = np.random.RandomState(0)
+    resident, iters = 8, 80
+    feats = Features(
+        fc_feats=jnp.asarray(rng.randn(resident, B, FC), dtype),
+        att_feats=jnp.asarray(rng.randn(resident, B, N, ATT), dtype),
+        attri_feats=None,
+        att_masks=jnp.ones((resident, B, N), jnp.float32))
+
+    @jax.jit
+    def sweep(params, fa):
+        def body(_, i):
+            ft = jax.tree.map(
+                lambda x: jax.lax.dynamic_index_in_dim(x, i % resident,
+                                                       keepdims=False), fa)
+            return None, decode(model, params, ft)
+        _, seqs = jax.lax.scan(body, None, jnp.arange(iters))
+        return seqs
+
+    _ = np.asarray(sweep(params, feats))
+    best = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        np.asarray(sweep(params, feats))
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name}: {B*iters/best:.1f} caps/s ({best*1e3/iters:.2f} ms/batch)")
+    import os
+    if os.environ.get("TRACE"):
+        with jax.profiler.trace(os.environ["TRACE"]):
+            np.asarray(sweep(params, feats))
+        print("trace written to", os.environ["TRACE"])
+
+
+if __name__ == "__main__":
+    which = sys.argv[1]
+    if which == "transformer5":
+        run("transformer", lambda m, p, ft: m.sample_beam(p, ft, beam_size=5).seq[:, 0])
+    elif which == "greedy":
+        run("denseatt-greedy", lambda m, p, ft: m.sample(
+            p, ft, rng=jax.random.PRNGKey(1), greedy=True)[0])
+    elif which == "denseatt5":
+        run("denseatt-beam5", lambda m, p, ft: m.sample_beam(p, ft, beam_size=5).seq[:, 0])
