@@ -117,11 +117,13 @@ def _zero_state(b):
     return (torch.zeros(b, 3, H), torch.zeros(b, 3, H))
 
 
-def host_beam(model, ctx_b, *, beam_size, seq_length, suppress_unk=True):
+def host_beam(model, ctx_b, *, beam_size, seq_length, suppress_unk=True,
+              zero_state=None):
     """Reference-semantics beam for ONE image (ctx_b tensors have batch 1).
     Mirrors tests/test_beam_search.py::naive_beam, stepping the torch model
     and forking its state by backpointer."""
-    beams = [{"seq": [], "sum": 0.0, "it": 0, "state": _zero_state(1)}]
+    zero_state = zero_state or _zero_state
+    beams = [{"seq": [], "sum": 0.0, "it": 0, "state": zero_state(1)}]
     finished = []
     with torch.no_grad():
         for t in range(seq_length):
@@ -692,3 +694,89 @@ def test_transformer_beam5_token_identity(trans_pair):
                 seqs[b, k], ref_seq,
                 err_msg=f"b={b} k={k}: {seqs[b, k].tolist()} vs {ref_seq}")
             np.testing.assert_allclose(scores[b, k], f["score"], atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# TopDown family (a 4th beam-parity family: 2-LSTM up-down core,
+# AttModel.py:421-446, torch transcription shared with tests/test_convert.py)
+# ---------------------------------------------------------------------------
+
+class TorchTopDownBeam(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.embed = nn.Sequential(nn.Embedding(V + 1, E), nn.ReLU())
+        self.fc_embed = nn.Sequential(nn.Linear(FC, H), nn.ReLU())
+        self.att_embed = nn.Sequential(nn.Linear(ATT, H), nn.ReLU())
+        self.ctx2att = nn.Linear(H, AHID)
+        self.logit = nn.Linear(H, V + 1)
+        self.att_lstm = nn.LSTMCell(E + 2 * H, H)
+        self.lang_lstm = nn.LSTMCell(2 * H, H)
+        self.h2att = nn.Linear(H, AHID)
+        self.alpha_net = nn.Linear(AHID, 1)
+
+    def attention(self, h, att_e, p_att, masks):
+        dot = torch.tanh(p_att + self.h2att(h).unsqueeze(1))
+        w = F.softmax(self.alpha_net(dot).squeeze(-1), dim=1)
+        w = w * masks
+        w = w / w.sum(1, keepdim=True)
+        return torch.bmm(w.unsqueeze(1), att_e).squeeze(1)
+
+    def prepare(self, fc, att, masks):
+        att_e = self.att_embed(att)
+        return self.fc_embed(fc), att_e, self.ctx2att(att_e), masks
+
+    def step(self, it, ctx, state):
+        fc_e, att_e, p_att, masks = ctx
+        h1, c1, h2, c2 = state
+        xt = self.embed(it)
+        h1, c1 = self.att_lstm(torch.cat([h2, fc_e, xt], 1), (h1, c1))
+        a = self.attention(h1, att_e, p_att, masks)
+        h2, c2 = self.lang_lstm(torch.cat([a, h1], 1), (h2, c2))
+        return (F.log_softmax(self.logit(h2), dim=-1), (h1, c1, h2, c2))
+
+
+def _topdown_zero_state(b):
+    return tuple(torch.zeros(b, H) for _ in range(4))
+
+
+def test_topdown_beam5_token_identity():
+    from unpaired_image_captioning_tpu.models.convert import (
+        convert_topdown_model)
+
+    torch.manual_seed(11)
+    tm = TorchTopDownBeam().eval()
+    renamed = {}
+    for k, v in tm.state_dict().items():
+        k = (k.replace("att_lstm.", "core.att_lstm.")
+             .replace("lang_lstm.", "core.lang_lstm.")
+             .replace("h2att.", "core.attention.h2att.")
+             .replace("alpha_net.", "core.attention.alpha_net."))
+        renamed[k] = v.detach().numpy()
+    params = convert_topdown_model(renamed)
+    cfg = Config(caption_model="topdown", vocab_size=V, rnn_size=H,
+                 num_layers=1, input_encoding_size=E, fc_feat_size=FC,
+                 att_feat_size=ATT, att_hid_size=AHID, seq_length=T,
+                 drop_prob_lm=0.0)
+    model = models.setup(cfg)
+    rng = np.random.RandomState(5)
+    fc = rng.randn(B, FC).astype(np.float32)
+    att = rng.randn(B, N, ATT).astype(np.float32)
+    masks = np.ones((B, N), np.float32)
+    masks[1, 2:] = 0
+    feats = Features(fc_feats=jnp.asarray(fc), att_feats=jnp.asarray(att),
+                     att_masks=jnp.asarray(masks))
+    res = model.sample_beam(params, feats, beam_size=K)
+    seqs = np.asarray(res.seq)
+    scores = np.asarray(res.scores)
+
+    for b in range(B):
+        ctx = tm.prepare(torch.from_numpy(fc[b:b + 1]),
+                         torch.from_numpy(att[b:b + 1]),
+                         torch.from_numpy(masks[b:b + 1]))
+        ref = host_beam(tm, ctx, beam_size=K, seq_length=T,
+                        zero_state=_topdown_zero_state)
+        for k, (ref_seq, ref_score) in enumerate(ref):
+            np.testing.assert_array_equal(
+                seqs[b, k], ref_seq,
+                err_msg=f"b={b} k={k}: {seqs[b, k].tolist()} vs {ref_seq}")
+            np.testing.assert_allclose(scores[b, k], ref_score, atol=1e-4)
