@@ -60,6 +60,47 @@ def run(name, decode):
         print("trace written to", os.environ["TRACE"])
 
 
+def run_latency(beam):
+    """p50 per-image latency: batch-1 decodes chained sequentially inside
+    one dispatch (each iteration's features depend on the previous output
+    so XLA cannot overlap them)."""
+    cfg = dict(vocab_size=V, seq_length=T, fc_feat_size=FC, att_feat_size=ATT,
+               drop_prob_lm=0.5, batch_size=1, caption_model="denseatt",
+               input_encoding_size=512, rnn_size=512, num_layers=1,
+               att_hid_size=512)
+    model = models.setup(Config(**cfg))
+    params = model.init_params(jax.random.PRNGKey(0))
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    params = jax.tree.map(
+        lambda x: x.astype(dtype) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        params)
+    rng = np.random.RandomState(0)
+    fc = jnp.asarray(rng.randn(1, FC), dtype)
+    att = jnp.asarray(rng.randn(1, N, ATT), dtype)
+    iters = 50
+
+    @jax.jit
+    def chain(params, fc, att):
+        def body(carry, _):
+            f = Features(fc_feats=fc + carry, att_feats=att,
+                         attri_feats=None,
+                         att_masks=jnp.ones((1, N), jnp.float32))
+            seq = model.sample_beam(params, f, beam_size=beam).seq[:, 0]
+            # feed a data-dependent scalar forward to serialize iterations
+            return jnp.sum(seq).astype(dtype) * dtype(0), seq
+        _, seqs = jax.lax.scan(body, dtype(0), jnp.arange(iters))
+        return seqs
+
+    _ = np.asarray(chain(params, fc, att))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(chain(params, fc, att))
+        best = min(best, time.perf_counter() - t0)
+    print(f"denseatt beam-{beam} batch-1 latency: "
+          f"{best*1e3/iters:.3f} ms/image (sequential-chain method)")
+
+
 if __name__ == "__main__":
     which = sys.argv[1]
     if which == "transformer5":
@@ -69,3 +110,5 @@ if __name__ == "__main__":
             p, ft, rng=jax.random.PRNGKey(1), greedy=True)[0])
     elif which == "denseatt5":
         run("denseatt-beam5", lambda m, p, ft: m.sample_beam(p, ft, beam_size=5).seq[:, 0])
+    elif which == "latency":
+        run_latency(5)
