@@ -99,11 +99,22 @@ def attention_apply(p, h, att_emb, p_att, att_masks, training: bool = False):
                 else jnp.ones(p_att.shape[:2], jnp.float32))
         return fused_additive_attention(p_att, att_h, p["alpha_net"]["w"],
                                         mask, att_emb)
-    dot = jnp.tanh(p_att.astype(jnp.float32)
-                   + att_h.astype(jnp.float32)[:, None, :])         # [B,N,A]
-    scores = linear(p["alpha_net"], dot)[..., 0]                    # [B,N]
-    weight = masked_softmax(scores.astype(jnp.float32), att_masks)  # [B,N]
-    return jnp.einsum("bn,bnd->bd", weight.astype(att_emb.dtype), att_emb)
+
+    # jax.checkpoint: free in forward-only decode, and if this path IS
+    # differentiated anyway (the SCST logprob recompute runs with
+    # training=False so dropout matches the sampled distribution, yet
+    # takes gradients) the [B,N,A] f32 tanh intermediate is recomputed in
+    # the backward instead of being saved as a residual — the same
+    # residual-traffic problem the TRAIN_KERNEL route avoids.
+    @jax.checkpoint
+    def _attend(alpha_p, p_att_, att_h_, mask_, emb_):
+        dot = jnp.tanh(p_att_.astype(jnp.float32)
+                       + att_h_.astype(jnp.float32)[:, None, :])    # [B,N,A]
+        scores = linear(alpha_p, dot)[..., 0]                       # [B,N]
+        weight = masked_softmax(scores.astype(jnp.float32), mask_)  # [B,N]
+        return jnp.einsum("bn,bnd->bd", weight.astype(emb_.dtype), emb_)
+
+    return _attend(p["alpha_net"], p_att, att_h, att_masks, att_emb)
 
 
 def _mlp_embed_init(rng, in_dim, out_dim):
