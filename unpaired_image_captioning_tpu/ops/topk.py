@@ -30,7 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 # iterative masked-argmax is O(k) full passes over the row block, yet it
 # wins every measured beam shape. v5e, NMT beam-15 translate ms/batch
 # ([750,8571] k=15 selection): iterative 12.5, chunked two-stage 15.0
-# (the candidate gather is expensive), XLA sort-based top-k 20.5. Also
+# with a take_along_axis gather / 14.3 with the one-hot-matmul gather,
+# XLA sort-based top-k 20.5. Also
 # A/B'd and rejected (15.6): a no-rewrite variant that excludes extracted
 # elements via one lexicographic compare against the last (value, index)
 # pair — the extra per-element predicate ops cost more than the masked
@@ -93,18 +94,27 @@ def _chunked_topk(x, k: int, interpret: bool = False):
     chunk-id-sorted candidates reproduces lax.top_k's flat tie-break
     exactly."""
     rows, v = x.shape
+    # finite values only: the one-hot gather below multiplies every
+    # element by 0 or 1 and 0 * inf = NaN. Beam selection matrices are
+    # finite by construction (masks use -1e10); clamp defensively so a
+    # stray -inf degrades to float-min ordering instead of NaNs.
+    x = jnp.clip(x, jnp.finfo(x.dtype).min, jnp.finfo(x.dtype).max)
     vp = ((v + CHUNK - 1) // CHUNK) * CHUNK
     if vp != v:
-        # pad is only reachable if a row has fewer than k finite entries,
-        # which beam selection matrices never do (masks use -1e10, not -inf)
-        x = jnp.pad(x, ((0, 0), (0, vp - v)), constant_values=-jnp.inf)
+        # pad only wins if a row has fewer than k entries above float-min,
+        # which beam selection matrices never do
+        x = jnp.pad(x, ((0, 0), (0, vp - v)),
+                    constant_values=jnp.finfo(x.dtype).min)
     c = vp // CHUNK
     xc = x.reshape(rows, c, CHUNK)
     cmax = jnp.max(xc, axis=2)                               # [R, C]
     _, cid = jax.lax.top_k(cmax, k)                          # ties: low id
     cid = jnp.sort(cid, axis=1)                              # flat order
-    cand = jnp.take_along_axis(
-        xc, cid[:, :, None], axis=1).reshape(rows, k * CHUNK)
+    # gather the k candidate chunks as a one-hot batched matmul: TPU
+    # gathers are slow, the MXU is not, and onehot-x-value products/sums
+    # are exact in f32 (x*1.0 + zeros)
+    onehot = (cid[:, :, None] == jnp.arange(c)[None, None, :]).astype(x.dtype)
+    cand = jnp.einsum("rkc,rcl->rkl", onehot, xc).reshape(rows, k * CHUNK)
     vals, p = _row_topk_pallas(cand, k=k, interpret=interpret)
     idx = (jnp.take_along_axis(cid, p // CHUNK, axis=1) * CHUNK
            + p % CHUNK).astype(jnp.int32)
