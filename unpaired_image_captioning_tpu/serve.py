@@ -64,8 +64,16 @@ class MicroBatcher:
             examples = [b[0] for b in batch]
             futs = [b[1] for b in batch]
             n = len(examples)
-            # pad to the fixed batch with copies of row 0 (static shapes)
-            while len(examples) < self.max_batch:
+            # pad to the next power-of-two BUCKET with copies of row 0:
+            # static shapes per bucket keep a bounded set of warm
+            # executables (log2(max_batch) of them) while a lone request
+            # uploads 1 row of features, not max_batch rows — feature
+            # upload is the dominant cost of a serving dispatch
+            bucket = 1
+            while bucket < n:
+                bucket *= 2
+            bucket = min(bucket, self.max_batch)
+            while len(examples) < bucket:
                 examples.append(examples[0])
             stacked = {k: np.stack([e[k] for e in examples])
                        for k in examples[0]}
@@ -115,14 +123,38 @@ class CaptionService:
                                          beam_size=beam_size).seq[:, 0]
 
         def decode_batch(stacked: dict) -> List[str]:
-            seq = decode(self.params,
-                         jnp.asarray(stacked["fc"], jnp.float32),
-                         jnp.asarray(stacked["att"], jnp.float32),
+            # host-side bf16 cast on TPU halves feature-upload bytes (the
+            # dominant serving dispatch cost; same policy as eval_split)
+            fc, att = stacked["fc"], stacked["att"]
+            if jax.default_backend() == "tpu":
+                import ml_dtypes
+
+                fc = fc.astype(ml_dtypes.bfloat16)
+                att = att.astype(ml_dtypes.bfloat16)
+            seq = decode(self.params, jnp.asarray(fc), jnp.asarray(att),
                          jnp.asarray(stacked["masks"], jnp.float32))
             return decode_sequence(self.vocab, np.asarray(seq))
 
+        self._decode_batch = decode_batch
         self.batcher = MicroBatcher(decode_batch, max_batch=max_batch,
                                     max_wait_ms=max_wait_ms)
+
+    def warmup(self, att_len: int):
+        """Compile every power-of-two batch bucket up front so live
+        requests never hit XLA compile latency."""
+        fcd = getattr(self.model, "fc_feat_size", 2048)
+        attd = getattr(self.model, "att_feat_size", 2048)
+        b = 1
+        while True:
+            stacked = {
+                "fc": np.zeros((b, fcd), np.float32),
+                "att": np.zeros((b, att_len, attd), np.float32),
+                "masks": np.ones((b, att_len), np.float32),
+            }
+            self._decode_batch(stacked)
+            if b >= self.batcher.max_batch:
+                break
+            b = min(b * 2, self.batcher.max_batch)
 
     def caption(self, fc: np.ndarray, att: np.ndarray,
                 masks: Optional[np.ndarray] = None, timeout: float = 30.0) -> str:
