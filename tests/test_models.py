@@ -192,3 +192,41 @@ def test_logit_layers_and_use_bn(rng):
     assert np.isfinite(np.asarray(out)).all()
     gen, _ = model.sample(params, feats, rng)
     assert gen.shape == (B, T)
+
+
+def test_adaatt_beam_shared_memory_matches_expanded(monkeypatch):
+    """AdaAtt's k-aware sentinel attention under the unexpanded beam
+    layout must reproduce the expanded layout's decode (same per-image
+    memory, summation split sentinel/slots is the only float difference)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unpaired_image_captioning_tpu import models
+    from unpaired_image_captioning_tpu.config import Config
+    from unpaired_image_captioning_tpu.models.att import AdaAttModel
+    from unpaired_image_captioning_tpu.models.base import Features
+
+    cfg = Config(caption_model="adaatt", vocab_size=30, rnn_size=16,
+                 num_layers=1, input_encoding_size=16, att_hid_size=12,
+                 fc_feat_size=20, att_feat_size=14, seq_length=7,
+                 drop_prob_lm=0.0)
+    model = models.setup(cfg)
+    params = model.init_params(jax.random.PRNGKey(2))
+    rng = np.random.RandomState(4)
+    feats = Features(
+        fc_feats=jnp.asarray(rng.randn(3, 20), jnp.float32),
+        att_feats=jnp.asarray(rng.randn(3, 5, 14), jnp.float32),
+        attri_feats=None,
+        att_masks=jnp.asarray(
+            np.concatenate([np.ones((3, 3)), np.zeros((3, 2))], 1)
+            .astype(np.float32)))
+    res_shared = model.sample_beam(params, feats, beam_size=4)
+
+    monkeypatch.setattr(AdaAttModel, "beam_ctx_no_expand",
+                        property(lambda self: ()))
+    res_exp = model.sample_beam(params, feats, beam_size=4)
+    np.testing.assert_array_equal(np.asarray(res_shared.seq),
+                                  np.asarray(res_exp.seq))
+    np.testing.assert_allclose(np.asarray(res_shared.scores),
+                               np.asarray(res_exp.scores), atol=1e-5)

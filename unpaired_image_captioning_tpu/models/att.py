@@ -540,11 +540,9 @@ class AdaAttModel(AttModel):
         assert self.input_encoding_size == self.rnn_size, (
             "adaatt requires input_encoding_size == rnn_size")
 
-    @property
-    def beam_ctx_no_expand(self) -> tuple:
-        # the sentinel attention concatenates per-beam fake regions with the
-        # att memory — needs the expanded layout
-        return ()
+    # (inherits the unexpanded beam_ctx_no_expand: the sentinel attention
+    # is k-aware — slot scores read the shared per-image memory, the
+    # per-beam sentinel score concatenates in front; see core_step)
 
     def core_init(self, rng):
         L = self.num_layers
@@ -618,16 +616,31 @@ class AdaAttModel(AttModel):
         ho = dropout(r[L + 3], jnp.tanh(linear(p["ho_linear"], top_h)),
                      self.drop_prob_lm, training)
         ho_embed = linear(p["ho_embed"], ho)
-        img_all = jnp.concatenate([fr[:, None, :], ctx["att"]], axis=1)
-        img_all_embed = jnp.concatenate([fr_embed[:, None, :], ctx["p_att"]], axis=1)
-        hA = jnp.tanh(img_all_embed + ho_embed[:, None, :])
-        scores = linear(p["alpha_net"], hA)[..., 0]
+        # k-aware layout: the att memory/p_att/masks stay per-image [B, ...]
+        # under beam search (beam_ctx_no_expand) while the sentinel
+        # (fake region) and query are per-beam [B*K, ...]; slot scores read
+        # the shared memory once per image, the sentinel score is computed
+        # separately and concatenated in front (reference slot order,
+        # AdaAtt_attention :383-397). k == 1 reproduces the expanded math.
+        bm = ctx["att"].shape[0]
+        k = ho.shape[0] // bm
+        fr_k = fr.reshape(bm, k, -1)
+        fr_ek = fr_embed.reshape(bm, k, -1)
+        ho_ek = ho_embed.reshape(bm, k, -1)
+        hA = jnp.tanh(ctx["p_att"][:, None, :, :] + ho_ek[:, :, None, :])
+        slot_scores = linear(p["alpha_net"], hA)[..., 0]          # [B,K,N]
+        sent_score = linear(p["alpha_net"],
+                            jnp.tanh(fr_ek + ho_ek))[..., 0]      # [B,K]
+        scores = jnp.concatenate([sent_score[..., None], slot_scores], -1)
         masks = ctx["masks"]
         if masks is not None:
-            masks = jnp.concatenate([jnp.ones_like(masks[:, :1]), masks], axis=1)
+            masks = jnp.concatenate([jnp.ones_like(masks[:, :1]), masks],
+                                    axis=1)[:, None, :]           # [B,1,1+N]
         pi = masked_softmax(scores.astype(jnp.float32), masks)
-        vis = jnp.einsum("bn,bnd->bd", pi.astype(img_all.dtype), img_all)
-        atten_out = vis + ho
+        pid = pi.astype(ctx["att"].dtype)
+        vis = (pid[..., :1] * fr_k
+               + jnp.einsum("bkn,bnd->bkd", pid[..., 1:], ctx["att"]))
+        atten_out = vis.reshape(ho.shape[0], -1) + ho
         out = jnp.tanh(linear(p["att2h"], atten_out))
         out = dropout(rng, out, self.drop_prob_lm, training)
         return out, (jnp.stack(hs, axis=1), jnp.stack(cs, axis=1))
