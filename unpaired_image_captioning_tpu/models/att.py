@@ -58,12 +58,12 @@ def attention_apply(p, h, att_emb, p_att, att_masks, training: bool = False):
     broadcast over the K beams. Softmax over N, then multiplicative mask +
     renormalize (NOT -inf mask).
 
-    Routing (v5e-measured, see TRAIN_KERNEL/SINGLE_KERNEL): decode runs
-    the XLA einsum (XLA's fusion beats the Pallas kernels forward-only);
-    the differentiated training path runs the Pallas kernel, whose custom
-    VJP keeps only the small raw inputs as residuals — XLA autodiff
-    instead saves the [B,N,A] f32 tanh intermediate for backward, which
-    costs 40% of XE step throughput (65k vs 91k tokens/s).
+    Routing (v5e-measured, see TRAIN_KERNEL/SINGLE_KERNEL): every path
+    runs the XLA einsum — forward-only XLA fusion beats the Pallas
+    kernels (80 vs 105 us), and the jax.checkpoint wrap below gives the
+    differentiated path the same recompute-instead-of-residual structure
+    that previously made the kernel's custom VJP the training winner
+    (XE step: XLA-no-remat 65k, kernel 92k, XLA+remat 101k tokens/s).
     """
     att_h = linear(p["h2att"], h)                                   # [BK,A]
     bq = h.shape[0]
@@ -235,11 +235,14 @@ BEAMS_KERNEL = False
 # matmul.
 SINGLE_KERNEL = False
 
-# ... but at TRAINING time (differentiated) the kernel is ON: its custom
-# VJP recomputes from the small raw inputs, while XLA autodiff saves the
-# [B,N,A] f32 tanh intermediate as a residual. XE step A/B on v5e
-# (denseatt, batch 50): kernel 91k tokens/s vs XLA 65k.
-TRAIN_KERNEL = True
+# Training-time kernel routing: OFF since the jax.checkpoint wrap below.
+# History (XE step on v5e, denseatt batch 50): plain XLA autodiff saved
+# the [B,N,A] f32 tanh intermediate as a residual (65k tokens/s) and the
+# kernel's recompute-from-raw-inputs custom VJP won (91-92k); wrapping
+# the XLA path in jax.checkpoint gives the same recompute structure AND
+# XLA's better fusion — 101k tokens/s, so XLA is the route under
+# training too. Kernels stay opt-in + parity-tested for re-A/B.
+TRAIN_KERNEL = False
 
 
 # ---------------------------------------------------------------------------
