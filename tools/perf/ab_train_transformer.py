@@ -1,0 +1,68 @@
+"""Transformer XE train-step throughput (denseatt's ab_train with the
+transformer config)."""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from unpaired_image_captioning_tpu.config import Config
+from unpaired_image_captioning_tpu.ops.cider import empty_df_table
+from unpaired_image_captioning_tpu.train.trainer import Trainer
+
+B, N, V, FC, ATT, T = 50, 196, 9487, 2048, 2048, 16
+
+if len(sys.argv) > 1 and sys.argv[1] == "remat":
+    import unpaired_image_captioning_tpu.models.transformer as tf_mod
+    tf_mod.REMAT_ATTENTION = True
+
+dtype = jnp.bfloat16
+tcfg = Config(caption_model="transformer", vocab_size=V, rnn_size=512,
+              num_layers=6, input_encoding_size=512, att_hid_size=512,
+              fc_feat_size=FC, att_feat_size=ATT, seq_length=T,
+              drop_prob_lm=0.5, batch_size=B, seq_per_img=1,
+              i2t_train_flag=True, nmt_train_flag=False,
+              checkpoint_path="/tmp/bench_save_tf")
+tr = Trainer(tcfg, df_table=empty_df_table())
+rng = np.random.RandomState(0)
+batch = {
+    "fc_feats": jnp.asarray(rng.randn(B, FC), dtype),
+    "att_feats": jnp.asarray(rng.randn(B, N, ATT), dtype),
+    "attri_feats": None,
+    "att_masks": jnp.ones((B, N), jnp.float32),
+    "labels": jnp.asarray(
+        rng.randint(1, V, (B, T + 2)).astype(np.int32)).at[:, 0].set(0),
+    "masks": jnp.ones((B, T + 2), jnp.float32),
+    "gts": jnp.asarray(rng.randint(1, V, (B, 5, T)).astype(np.int32)),
+    "gts_masks": jnp.ones((B, 5), jnp.float32),
+}
+n_steps = 20
+step = tr._build_step(rl=False)
+
+@jax.jit
+def loop(p, opt, batch, rng0):
+    def body(carry, i):
+        p, opt = carry
+        p, _, opt, _, m = step(p, None, opt, None, batch,
+                               jnp.float32(4e-4), jnp.float32(1e-3),
+                               jnp.float32(0.0), jax.random.fold_in(rng0, i))
+        return (p, opt), m["total_loss"]
+    (p, opt), losses = jax.lax.scan(body, (p, opt), jnp.arange(n_steps))
+    return p, opt, losses
+
+p = jax.tree.map(jnp.array, tr.i2t_params)
+opt = tr.optim.i2t_state
+r = jax.random.PRNGKey(7)
+_, _, l0 = loop(p, opt, batch, r)
+np.asarray(l0)
+best = 1e9
+for _ in range(3):
+    p = jax.tree.map(jnp.array, tr.i2t_params)
+    t0 = time.perf_counter()
+    _, _, losses = loop(p, opt, batch, r)
+    np.asarray(losses)
+    best = min(best, time.perf_counter() - t0)
+tps = B * (T + 1) * n_steps / best
+mode = sys.argv[1] if len(sys.argv) > 1 else "base"
+print(f"transformer xe ({mode}): {tps:.0f} tokens/s ({best*1e3/n_steps:.2f} ms/step)")

@@ -76,20 +76,37 @@ def _split_heads(x, n_heads):
     return x.reshape(b, t, n_heads, d // n_heads)
 
 
+# remat the attention inner under autodiff: recompute the [B,H,T,S] f32
+# scores/softmax in the backward instead of saving them as residuals.
+# A/B'd OFF: unlike the LSTM family's additive attention (elementwise
+# tanh scores, where the same trick bought 65k->101k XE tokens/s,
+# models/att.py), the transformer's scores are MXU matmuls — recompute
+# costs more than the residual traffic (XE on v5e, 6L-512 batch 50:
+# 21.2k remat vs 22.4k saved-residual tokens/s). Kept as a flag: it is
+# also a memory knob for long-sequence configs.
+REMAT_ATTENTION = False
+
+
 def mha_apply(p, q_in, k, v, mask, n_heads: int, *, training=False, rng=None):
     """k, v: already-projected [B, S, d]. mask: [B, 1|T, S] bool/0-1 or None."""
     d = q_in.shape[-1]
-    q = _split_heads(linear(p["q"], q_in), n_heads)
-    kh = _split_heads(k, n_heads)
-    vh = _split_heads(v, n_heads)
-    scores = jnp.einsum("bthd,bshd->bhts", q, kh) / math.sqrt(d // n_heads)
-    scores = scores.astype(jnp.float32)
-    if mask is not None:
-        scores = jnp.where(mask[:, None, :, :], scores, -1e9)
-    attn = jax.nn.softmax(scores, axis=-1)
-    attn = dropout(rng, attn, DROPOUT, training)
-    out = jnp.einsum("bhts,bshd->bthd", attn.astype(q_in.dtype), vh)
-    return linear(p["o"], out.reshape(q_in.shape[0], q_in.shape[1], d))
+
+    def core(pq, po, q_in_, k_, v_, mask_, rng_):
+        q = _split_heads(linear(pq, q_in_), n_heads)
+        kh = _split_heads(k_, n_heads)
+        vh = _split_heads(v_, n_heads)
+        scores = jnp.einsum("bthd,bshd->bhts", q, kh) / math.sqrt(d // n_heads)
+        scores = scores.astype(jnp.float32)
+        if mask_ is not None:
+            scores = jnp.where(mask_[:, None, :, :], scores, -1e9)
+        attn = jax.nn.softmax(scores, axis=-1)
+        attn = dropout(rng_, attn, DROPOUT, training)
+        out = jnp.einsum("bhts,bshd->bthd", attn.astype(q_in_.dtype), vh)
+        return linear(po, out.reshape(q_in_.shape[0], q_in_.shape[1], d))
+
+    if REMAT_ATTENTION:
+        core = jax.checkpoint(core)
+    return core(p["q"], p["o"], q_in, k, v, mask, rng)
 
 
 def ffn_init(rng, d_model: int, d_ff: int) -> dict:
