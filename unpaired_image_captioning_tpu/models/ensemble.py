@@ -80,6 +80,10 @@ class AttEnsemble:
         def step_fn(p, c, state, it):
             return self.step(p, c, state, it)
 
+        # per-member unexpanded beam memories (each member's
+        # attention_apply handles the [B*K] query vs [B] memory split)
+        no_expand = tuple(m.beam_ctx_no_expand for m in self.models)
         return beam_search(step_fn, params_list, ctxs, states,
                            beam_size=beam_size, seq_length=self.seq_length,
-                           eos_is_zero=True, **beam_opts)
+                           eos_is_zero=True, ctx_no_expand=no_expand,
+                           **beam_opts)

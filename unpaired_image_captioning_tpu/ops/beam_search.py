@@ -69,6 +69,11 @@ def _expand_to_beams(tree, beam_size: int, no_expand=()):
             return jnp.repeat(x, beam_size, axis=0)
         return x
 
+    if (isinstance(tree, tuple) and no_expand
+            and all(isinstance(ne, (tuple, list)) for ne in no_expand)):
+        # ensemble: tuple of member ctx dicts with per-member no_expand
+        return tuple(_expand_to_beams(t, beam_size, no_expand=ne)
+                     for t, ne in zip(tree, no_expand))
     if isinstance(tree, dict) and no_expand:
         return {k: (v if k in no_expand else jax.tree.map(expand, v))
                 for k, v in tree.items()}
