@@ -34,15 +34,26 @@ def test_row_topk_ties_take_lowest_index():
     np.testing.assert_array_equal(np.asarray(i)[0], [7, 100, 3, 250])
 
 
-def test_row_topk_handles_neg_inf_rows():
+@pytest.mark.parametrize("k", [2, 3, 5])
+def test_row_topk_handles_neg_inf_rows(k):
+    # >=2 -inf entries inside the top-k: a -inf masking rewrite would be
+    # a no-op and return duplicate indices (advisor finding, round 2) —
+    # the picks must walk ascending untaken columns like lax.top_k
     x = np.full((8, 256), -np.inf, np.float32)
     x[:, 5] = 0.0
-    v, i = _row_topk_pallas(jnp.asarray(x), k=2, interpret=True)
+    v, i = _row_topk_pallas(jnp.asarray(x), k=k, interpret=True)
     assert np.asarray(i)[0, 0] == 5
-    # second pick is a -inf entry at the lowest remaining index
-    rv, ri = jax.lax.top_k(jnp.asarray(x), 2)
+    rv, ri = jax.lax.top_k(jnp.asarray(x), k)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
     np.testing.assert_array_equal(np.asarray(v), np.asarray(rv))
+    # mixed finite / -inf tail
+    y = np.full((4, 256), -np.inf, np.float32)
+    y[:, 9] = 1.0
+    y[:, 100] = 0.5
+    v2, i2 = _row_topk_pallas(jnp.asarray(y), k=k, interpret=True)
+    rv2, ri2 = jax.lax.top_k(jnp.asarray(y), k)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(ri2))
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(rv2))
 
 
 @pytest.mark.parametrize("k", [9, 15])

@@ -181,7 +181,15 @@ def eval_split(model, params, loader, *, split: str = "val",
     # (~23 ms/round-trip) the per-batch fetch made the harness ~10x slower
     # than the decode itself; on a TPU VM it still hides dispatch + loader
     # I/O behind device work.
+    # Backpressure bound (advisor, round 2): keep at most EVAL_WINDOW
+    # batches of un-materialized results in flight — on a large split an
+    # unbounded pending list queues the whole split's programs + result
+    # buffers. Draining the OLDEST entry keeps the pipelining win (the
+    # drained batch finished long ago; fetching it doesn't stall the
+    # device) while bounding in-flight work.
+    window = int(os.environ.get("UIC_EVAL_WINDOW", "32"))
     losses_dev, pending = [], []
+    drain_ptr = 0
     seen = set()
     done = False
     while not done:
@@ -216,6 +224,10 @@ def eval_split(model, params, loader, *, split: str = "val",
                 seen.add(info["id"])
             batch_infos.append(info if fresh else None)
         pending.append((batch_infos, seq))
+        while len(pending) - drain_ptr > window:
+            infos_d, seq_d = pending[drain_ptr]
+            pending[drain_ptr] = (infos_d, np.asarray(seq_d))
+            drain_ptr += 1
         # budget bookkeeping with pop-on-wrap (eval_utils.py:287-300)
         if data["bounds"]["wrapped"] or len(seen) >= budget:
             done = True

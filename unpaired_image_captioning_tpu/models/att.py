@@ -16,11 +16,12 @@ Behavioral parity with the reference `models/AttModel.py` (file-wide):
 
 TPU-native differences: per-timestep Python loops are `lax.scan`
 (base.forward); variable-length att grids use masks instead of
-pack_padded_sequence (AttModel.py:30-53); `use_bn` is batch-statistics
-normalization (training-mode BatchNorm — running-stat inference BN is not
-carried over; document in configs that eval batches must be > 1 when
-use_bn != 0). States are batch-major `(h[B,L,H], c[B,L,H])` so the
-vectorized beam search can reorder them along axis 0.
+pack_padded_sequence (AttModel.py:30-53); `use_bn` BatchNorm carries FULL
+torch semantics — batch statistics in training, momentum-tracked running
+stats applied at inference (`_batch_norm` below, `apply_bn_updates`), plus
+`calibrate_batch_norm` to (re)estimate running stats for converted
+checkpoints that lack them. States are batch-major `(h[B,L,H], c[B,L,H])`
+so the vectorized beam search can reorder them along axis 0.
 """
 
 from __future__ import annotations

@@ -45,15 +45,23 @@ def _row_topk_kernel(x_ref, vals_ref, idx_ref, *, k: int):
     x = x_ref[:]                                           # [BR, V] f32
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     big = jnp.int32(2 ** 30)
-    cur = x
+    # Extracted columns are excluded via an explicit boolean, not by
+    # rewriting the value buffer to -inf: a -inf rewrite is a no-op on
+    # entries that are already -inf, which made rows with >=2 -inf
+    # entries in their top-k return DUPLICATE indices (advisor finding,
+    # round 2). With the mask, an all--inf tail resolves to ascending
+    # untaken columns, exactly like lax.top_k.
+    taken = jnp.zeros(x.shape, jnp.bool_)
     for j in range(k):
+        cur = jnp.where(taken, -jnp.inf, x)
         m = jnp.max(cur, axis=1, keepdims=True)            # [BR, 1]
-        i = jnp.min(jnp.where(cur == m, col, big), axis=1,
-                    keepdims=True)                         # first max col
+        i = jnp.min(jnp.where(jnp.logical_and(jnp.logical_not(taken),
+                                              x == m), col, big),
+                    axis=1, keepdims=True)                 # first max col
         vals_ref[:, j] = m[:, 0]
         idx_ref[:, j] = i[:, 0]
         if j + 1 < k:
-            cur = jnp.where(col == i, -jnp.inf, cur)
+            taken = jnp.logical_or(taken, col == i)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block_r", "interpret"))
