@@ -45,16 +45,20 @@ def language_eval(dataset_type: str, preds: List[dict], model_id: str,
     from .metrics import Bleu, Cider, Meteor, Rouge, Spice
 
     if dataset_type == "zh":
-        # the reference's zh stack (AI_Challenger pycx scorer) segments
-        # captions itself before scoring (jieba, per-char fallback); accept
-        # both raw and pre-segmented zh input so the two agree
+        # exact reference zh pipeline (exec-level pinned by
+        # tests/test_zh_value_parity.py): every caption — reference AND
+        # prediction — passes through jieba segmentation with the 。-strip
+        # (pycxtools/coco.py:326 for loadRes, prepro_reference_json.py:79
+        # for the refs) and then the pycx stack's PTB tokenization
+        # (pycxevalcap/eval.py:30-33: lowercase + ASCII-punctuation
+        # removal) before scoring. jieba on already-segmented text is
+        # whitespace-stable, so raw and pre-segmented inputs agree.
+        from ..native import ptb_tokenize
         from ..scripts.prepro_split_tokenize import segment_zh
 
         def _norm(s: str) -> str:
-            s = s.strip()
-            if " " not in s and any("一" <= ch <= "鿿" for ch in s):
-                return " ".join(segment_zh(s))
-            return s
+            s = " ".join(segment_zh(s.strip().replace("。", "")))
+            return ptb_tokenize(s)
     else:
         def _norm(s: str) -> str:
             return s
