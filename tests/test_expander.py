@@ -38,3 +38,50 @@ def test_compound_contractions_and_argmax_defaults():
     assert expand_sentence("he'd like it") == "he would like it"
     assert expand_sentence("he'd gone home") == "he had gone home"
     assert expand_sentence("y'all'd've known") == "you all would have known"
+
+
+def test_pair_default_distilled_from_reference_yaml():
+    """The generated expander_data.PAIR_DEFAULT must equal the pooled
+    argmax re-derived from the reference's own disambiguation yamls
+    (3-tag runtime table primary, 4-tag counts fallback) — the fixture
+    proof that the defaults are distilled, not hand-written."""
+    import collections
+    from pathlib import Path
+
+    import pytest
+
+    yaml = pytest.importorskip("yaml")
+    ref = Path("/root/reference/pivot_based_eccv2018/misc/expander")
+    if not ref.exists():
+        pytest.skip("reference checkout not present")
+
+    from unpaired_image_captioning_tpu.utils.expander_data import PAIR_DEFAULT
+
+    counts = collections.defaultdict(collections.Counter)
+    three = yaml.load((ref / "disambiguations.yaml").read_text(),
+                      Loader=yaml.UnsafeLoader)
+    for key, row in three.items():
+        (prev, _), (suffix, _) = key[0], key[1]
+        for e, p in row.items():
+            counts[(prev.lower(), suffix)][e] += float(p)
+    four = yaml.load((ref / "disambiguations_4tags.yaml").read_text(),
+                     Loader=yaml.UnsafeLoader)
+    fb = collections.defaultdict(collections.Counter)
+    for key, row in four.items():
+        (prev, _), (suffix, _) = key[0], key[1]
+        for e, n in row.items():
+            fb[(prev.lower(), suffix)][e] += float(n)
+    for pair, row in fb.items():
+        counts.setdefault(pair, row)
+
+    derived = {}
+    for pair, row in counts.items():
+        best = max(row.values())
+        winners = [e for e, v in row.items() if v == best]
+        if len(winners) == 1:
+            derived[pair] = winners[0]
+    assert PAIR_DEFAULT == derived
+
+    # spot-check the semantics actually reach expand_sentence
+    assert expand_sentence("it ain't here") == "it is not here"
+    assert expand_sentence("there's a dog") == "there is a dog"
