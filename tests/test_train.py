@@ -155,6 +155,55 @@ def test_prefetcher(loader):
     pf.close()
 
 
+def _fresh_loader(tmp_path, sub):
+    import os
+
+    os.makedirs(str(tmp_path / sub), exist_ok=True)
+    jpath, h5path, mem = make_caption_artifacts(str(tmp_path / sub),
+                                                vocab_size=VOCAB)
+    src, tgt = make_nmt_corpus()
+    nmt = NMTDataset(src, tgt, batch_size=4, shuffle=True)
+    return CaptionDataLoader(
+        input_json=jpath, input_label_h5=h5path, batch_size=4, seq_per_img=2,
+        att_feat_size=24, attri_feat_size=16, in_memory=mem, nmt_dataset=nmt,
+        use_box_cls_prob=0)
+
+
+def test_process_prefetcher_stream_identical(tmp_path):
+    """ProcessPrefetcher yields the exact batch stream of synchronous
+    get_batch (the plan phase owns all RNG), and state_dict() resumes from
+    the next UNCONSUMED batch even with workers prefetched ahead."""
+    from unpaired_image_captioning_tpu.data.prefetch import ProcessPrefetcher
+
+    sync_loader = _fresh_loader(tmp_path, "a")
+    sync_batches = [sync_loader.get_batch("train") for _ in range(7)]
+
+    pf_loader = _fresh_loader(tmp_path, "b")
+    pf = ProcessPrefetcher(pf_loader, "train", num_workers=2, depth=4)
+    try:
+        for i in range(5):
+            b = pf.get()
+            np.testing.assert_array_equal(b["labels"], sync_batches[i]["labels"])
+            np.testing.assert_allclose(b["att_feats"],
+                                       sync_batches[i]["att_feats"])
+            np.testing.assert_allclose(b["fc_feats"],
+                                       sync_batches[i]["fc_feats"])
+            np.testing.assert_array_equal(b["nmt"]["src"],
+                                          sync_batches[i]["nmt"]["src"])
+            assert ([x["id"] for x in b["infos"]]
+                    == [x["id"] for x in sync_batches[i]["infos"]])
+        # resume: state after consuming 5 must reproduce batch 6 onward
+        state = pf.state_dict()
+    finally:
+        pf.close()
+    resumed = _fresh_loader(tmp_path, "c")
+    resumed.load_state_dict(state)
+    for i in (5, 6):
+        b = resumed.get_batch("train")
+        np.testing.assert_array_equal(b["labels"], sync_batches[i]["labels"])
+        np.testing.assert_allclose(b["att_feats"], sync_batches[i]["att_feats"])
+
+
 def test_trainer_eval_best_tracking(tmp_path, loader):
     cfg = make_cfg(checkpoint_path=str(tmp_path / "save"), nmt_train_flag=False)
     tr = Trainer(cfg)

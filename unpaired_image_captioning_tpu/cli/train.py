@@ -64,6 +64,7 @@ def main(argv=None):
 
     nmt_dataset = None
     nmt_valid = None
+    nmt_dicts = {}
     if cfg.nmt_train_flag and cfg.input_nmt_h5:
         nmt_dataset = NMTDataset.from_h5(cfg.input_nmt_h5, cfg.batch_size,
                                          shuffle=True, seed=cfg.seed)
@@ -77,8 +78,10 @@ def main(argv=None):
 
             with open(cfg.input_nmt_dict) as f:
                 dicts = _json.load(f)
-            cfg.nmt_src_vocab_size = UDict.from_state_dict(dicts["src"]).size()
-            cfg.nmt_tgt_vocab_size = UDict.from_state_dict(dicts["tgt"]).size()
+            nmt_dicts = {side: UDict.from_state_dict(dicts[side])
+                         for side in ("src", "tgt")}
+            cfg.nmt_src_vocab_size = nmt_dicts["src"].size()
+            cfg.nmt_tgt_vocab_size = nmt_dicts["tgt"].size()
             # copy the dicts into the run dir: eval_unpaired and the
             # standalone translate CLI read them from there
             os.makedirs(cfg.checkpoint_path, exist_ok=True)
@@ -97,7 +100,42 @@ def main(argv=None):
     if cfg.num_devices != 1 and len(jax.devices()) > 1:
         mesh = make_mesh(cfg.num_devices, cfg.mesh_shape)
 
-    trainer = Trainer(cfg, mesh=mesh, df_table=load_df_table(cfg))
+    # Weight_Trans embedding coupling: built whenever joint i2t+NMT training
+    # has the dicts to align (the reference constructs it unconditionally at
+    # trainer.py:95 from loader.nmt_dicts; criterion.py:313-353), plus the
+    # target-side Weight_Trans_y when a frozen coco captioner embedding is
+    # provided (criterion.py:366-434)
+    import jax.numpy as jnp
+
+    from .. import pivot
+
+    joint_vocab = None
+    joint_vocab_y = None
+    if cfg.i2t_train_flag and cfg.nmt_train_flag and nmt_dicts:
+        cap_rows, src_rows = pivot.build_joint_vocab(loader.vocab,
+                                                     nmt_dicts["src"])
+        if len(cap_rows):
+            joint_vocab = (jnp.asarray(cap_rows), jnp.asarray(src_rows))
+            print(f"Weight_Trans joint vocab: {len(cap_rows)} shared words")
+        if cfg.input_coco_wemb and cfg.input_coco_json:
+            import json as _json
+
+            from ..vocab import CaptionVocab
+
+            with open(cfg.input_coco_json) as f:
+                coco_vocab = CaptionVocab(_json.load(f)["ix_to_word"])
+            blob = np.load(cfg.input_coco_wemb)
+            coco_rows, tgt_rows = pivot.build_joint_vocab(coco_vocab,
+                                                          nmt_dicts["tgt"])
+            if len(coco_rows):
+                joint_vocab_y = (jnp.asarray(blob["embedding"]),
+                                 jnp.asarray(coco_rows),
+                                 jnp.asarray(tgt_rows))
+                print(f"Weight_Trans_y joint vocab: {len(coco_rows)} "
+                      "shared words")
+
+    trainer = Trainer(cfg, mesh=mesh, df_table=load_df_table(cfg),
+                      joint_vocab=joint_vocab, joint_vocab_y=joint_vocab_y)
     histories: dict = {"loss_history": {}, "lr_history": {},
                        "ss_prob_history": {}, "val_result_history": {}}
     if cfg.start_from and trainer.ckpt.has_checkpoint(best=bool(cfg.load_best_score)):
@@ -107,13 +145,30 @@ def main(argv=None):
         histories = trainer.ckpt.load_histories() or histories
         print(f"resumed from iter {trainer.iteration} epoch {trainer.epoch}")
 
+    # multi-worker feature assembly (reference BlobFetcher role,
+    # dataloader.py:338-408). The plan stream stays in this process, so
+    # loader_state() below resumes from the next UNCONSUMED batch even with
+    # workers ahead of the step.
+    prefetcher = None
+    if cfg.input_workers > 0:
+        from ..data.prefetch import ProcessPrefetcher
+
+        prefetcher = ProcessPrefetcher(loader, "train",
+                                       num_workers=cfg.input_workers)
+
+    def next_train_batch():
+        return prefetcher.get() if prefetcher else loader.get_batch("train")
+
+    def loader_state():
+        return prefetcher.state_dict() if prefetcher else loader.state_dict()
+
     logger = MetricLogger(cfg.checkpoint_path)
     t_start = time.time()
     while True:
         sc_flag = (cfg.self_critical_after >= 0
                    and trainer.epoch >= cfg.self_critical_after)
         t0 = time.time()
-        data = loader.get_batch("train")
+        data = next_train_batch()
         read_t = time.time() - t0
         t0 = time.time()
         try:
@@ -127,7 +182,7 @@ def main(argv=None):
                                      "best_cider": trainer.best_cider,
                                      "best_nmt_acc": trainer.best_nmt_acc,
                                      "opt": cfg.to_dict(),
-                                     "loader_state": loader.state_dict(),
+                                     "loader_state": loader_state(),
                                      "crash": repr(e)},
                               i2t_params=trainer.i2t_params,
                               nmt_params=trainer.nmt_params)
@@ -173,22 +228,24 @@ def main(argv=None):
             best = trainer.best_cider is None or score > trainer.best_cider
             if best:
                 trainer.best_cider = score
-            trainer.save(loader_state=loader.state_dict(),
+            trainer.save(loader_state=loader_state(),
                          histories=histories)
             if best:
-                trainer.save(loader_state=loader.state_dict(),
+                trainer.save(loader_state=loader_state(),
                              histories=histories, best=True)
             print(f"checkpoint @ iter {it}: val_loss={val['loss']:.4f} "
                   f"score={score:.4f} best={best}")
 
         if trainer.epoch >= cfg.max_epochs >= 0:
             # final checkpoint so short runs are always resumable/evaluable
-            trainer.save(loader_state=loader.state_dict(), histories=histories)
+            trainer.save(loader_state=loader_state(), histories=histories)
             if trainer.best_cider is None:
-                trainer.save(loader_state=loader.state_dict(),
+                trainer.save(loader_state=loader_state(),
                              histories=histories, best=True)
             print(f"done: {trainer.epoch} epochs, {it} iters, "
                   f"{time.time() - t_start:.1f}s")
+            if prefetcher is not None:
+                prefetcher.close()
             break
 
 

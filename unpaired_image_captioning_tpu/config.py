@@ -118,6 +118,15 @@ class Config:
     use_box: int = 0
     use_box_cls_prob: int = 0
     norm_box_feat: int = 0
+    # feature-assembly worker processes for the train input pipeline
+    # (reference: BlobFetcher hardcodes 4 torch workers, dataloader.py:376;
+    # 0 = synchronous get_batch)
+    input_workers: int = 0
+    # frozen pretrained en (COCO) captioner embedding table (.npz with
+    # 'embedding' [V+1, E]) for the target-side Weight_Trans_y coupling —
+    # the reference hardcodes a coco model-best.pth path
+    # (criterion.py:380-381); pair with input_coco_json for the coco vocab
+    input_coco_wemb: str = ""
 
     # --- optimization: general ---
     max_epochs: int = 40

@@ -48,9 +48,19 @@ class CaptionDataLoader:
                  input_fc_h5: str = "", input_att_h5: str = "",
                  nmt_dataset: Optional[NMTDataset] = None,
                  in_memory: Optional[dict] = None, seed: int = 123,
-                 host_id: int = 0, num_hosts: int = 1):
+                 host_id: int = 0, num_hosts: int = 1,
+                 feat_dtype: str = "float32"):
         import h5py
 
+        # assembly dtype for the big float feature tensors: "bfloat16"
+        # halves every downstream copy (batch assembly, worker IPC, H2D
+        # upload — the trainer uploads bf16 anyway when cfg.dtype is bf16)
+        if feat_dtype == "bfloat16":
+            import ml_dtypes
+
+            self.feat_dtype = np.dtype(ml_dtypes.bfloat16)
+        else:
+            self.feat_dtype = np.dtype(np.float32)
         self.batch_size = batch_size
         self.seq_per_img = seq_per_img
         self.use_box = use_box
@@ -69,7 +79,11 @@ class CaptionDataLoader:
         self.input_box_dir = input_box_dir
         self.input_box_cls_prob_dir = input_box_cls_prob_dir
         self._mem = in_memory  # {'fc': {id: arr}, 'att': {...}, ...} for tests
-        # h5-backed feature variant (parity: dataloader_aic.py fc-h5 path)
+        # h5-backed feature variant (parity: dataloader_aic.py fc-h5 path);
+        # paths kept so forked feature workers can reopen their own handles
+        # (HDF5 handles are not fork-safe — see reopen_features)
+        self._fc_h5_path = input_fc_h5
+        self._att_h5_path = input_att_h5
         self._fc_h5 = h5py.File(input_fc_h5, "r")["fc"] if input_fc_h5 else None
         self._att_h5 = h5py.File(input_att_h5, "r")["att"] if input_att_h5 else None
 
@@ -213,7 +227,18 @@ class CaptionDataLoader:
         return out, mask
 
     # -- batching --------------------------------------------------------------
-    def get_batch(self, split: str, batch_size: Optional[int] = None) -> dict:
+    # get_batch is split into a PLAN phase (index selection + caption/gts
+    # RNG draws — everything that mutates loader state, parent-side) and a
+    # feature-ASSEMBLY phase (h5/npz IO + padding — pure w.r.t. loader
+    # state, safe to ship to worker processes). ProcessPrefetcher
+    # (data/prefetch.py) parallelizes assembly across workers while the
+    # plan stream — and therefore iterator-resume semantics — stays
+    # single-threaded and bit-identical to the synchronous path.
+
+    def plan_batch(self, split: str, batch_size: Optional[int] = None) -> dict:
+        """Everything but the feature IO: draws the image indices (shuffling
+        on wrap), captions, gts, and the piggybacked NMT batch. Consumes
+        loader RNG/iterator state exactly like get_batch."""
         bs = batch_size or self.batch_size
         spi = self.seq_per_img
         ixs = []
@@ -231,21 +256,53 @@ class CaptionDataLoader:
             ixs.append(int(pool[i]))
             self.iterators[split] = i + 1
 
-        fc_list, att_list, attri_list, info_list = [], [], [], []
-        label_list, gts_list, gts_mask_list = [], [], []
-        att_lens = []
+        info_list, label_list, gts_list, gts_mask_list = [], [], [], []
         for ix in ixs:
-            fc, att, attri, img = self._fetch_image(ix)
-            fc_list.append(fc)
-            att_list.append(att)
-            attri_list.append(attri)
-            att_lens.append(0 if att is None else min(len(att), self.max_att_len))
+            img = self.images[ix]
             info_list.append({"ix": ix, "id": img.get("id", ix),
                               "file_path": img.get("file_path", "")})
             label_list.append(self._fetch_captions(ix))
             g, gm = self._gts(ix)
             gts_list.append(g)
             gts_mask_list.append(gm)
+
+        labels = np.zeros((bs * spi, self.seq_length + 2), np.int32)
+        labels[:, 1:-1] = np.concatenate(label_list, axis=0)
+        nonzero = labels > 0
+        masks = np.zeros_like(labels, np.float32)
+        masks[:, 0] = 1.0
+        masks[:, 1:] = np.logical_or(nonzero[:, 1:], nonzero[:, :-1])
+
+        def rep(x):
+            return np.repeat(x, spi, axis=0)
+
+        plan = {
+            "ixs": ixs,
+            "labels": labels,
+            "masks": masks,
+            "gts": rep(np.stack(gts_list)),
+            "gts_masks": rep(np.stack(gts_mask_list)),
+            "infos": info_list,
+            "bounds": {"it_pos_now": self.iterators[split],
+                       "it_max": n, "wrapped": wrapped},
+        }
+        if self.nmt is not None:
+            nmt_batch, nmt_wrapped = self.nmt.next_batch()
+            plan["nmt"] = nmt_batch
+            plan["nmt_wrapped"] = nmt_wrapped
+        return plan
+
+    def assemble_features(self, ixs: List[int]) -> dict:
+        """Feature IO + padding for the planned image indices. Stateless
+        w.r.t. the loader (no RNG) — runs in worker processes."""
+        bs = len(ixs)
+        fc_list, att_list, attri_list, att_lens = [], [], [], []
+        for ix in ixs:
+            fc, att, attri, _ = self._fetch_image(ix)
+            fc_list.append(fc)
+            att_list.append(att)
+            attri_list.append(attri)
+            att_lens.append(0 if att is None else min(len(att), self.max_att_len))
 
         # Shape-stable padding: round the batch max up to a power-of-two
         # bucket (capped at the static max_att_len) so variable-size feature
@@ -258,7 +315,7 @@ class CaptionDataLoader:
             bucket *= 2
         max_att = min(bucket, self.max_att_len)
         att_dim = (self.att_feat_size + (5 if self.use_box else 0))
-        att_feats = np.zeros((bs, max_att, att_dim), np.float32)
+        att_feats = np.zeros((bs, max_att, att_dim), self.feat_dtype)
         att_masks = np.zeros((bs, max_att), np.float32)
         for i, att in enumerate(att_list):
             if att is None:
@@ -267,31 +324,30 @@ class CaptionDataLoader:
             att_feats[i, :L] = att[:L]
             att_masks[i, :L] = 1.0
 
-        labels = np.zeros((bs * spi, self.seq_length + 2), np.int32)
-        labels[:, 1:-1] = np.concatenate(label_list, axis=0)
-        nonzero = labels > 0
-        masks = np.zeros_like(labels, np.float32)
-        masks[:, 0] = 1.0
-        masks[:, 1:] = np.logical_or(nonzero[:, 1:], nonzero[:, :-1])
+        spi = self.seq_per_img
 
         def rep(x):
             return np.repeat(x, spi, axis=0)
 
-        data = {
-            "fc_feats": rep(np.stack(fc_list)),
-            "att_feats": rep(att_feats),
-            "attri_feats": rep(np.stack(attri_list)),
-            "att_masks": rep(att_masks),
-            "labels": labels,
-            "masks": masks,
-            "gts": rep(np.stack(gts_list)),
-            "gts_masks": rep(np.stack(gts_mask_list)),
-            "infos": info_list,
-            "bounds": {"it_pos_now": self.iterators[split],
-                       "it_max": n, "wrapped": wrapped},
-        }
-        if self.nmt is not None:
-            nmt_batch, nmt_wrapped = self.nmt.next_batch()
-            data["nmt"] = nmt_batch
-            data["nmt_wrapped"] = nmt_wrapped
-        return data
+        return {"fc_feats": rep(np.stack(fc_list).astype(self.feat_dtype,
+                                                         copy=False)),
+                "att_feats": rep(att_feats),
+                "attri_feats": rep(np.stack(attri_list).astype(
+                    self.feat_dtype, copy=False)),
+                "att_masks": rep(att_masks)}
+
+    def reopen_features(self) -> None:
+        """Re-create h5 feature handles (called in forked workers: HDF5
+        handles inherited across fork share file state with the parent)."""
+        import h5py
+
+        if self._fc_h5_path:
+            self._fc_h5 = h5py.File(self._fc_h5_path, "r")["fc"]
+        if self._att_h5_path:
+            self._att_h5 = h5py.File(self._att_h5_path, "r")["att"]
+
+    def get_batch(self, split: str, batch_size: Optional[int] = None) -> dict:
+        plan = self.plan_batch(split, batch_size)
+        feats = self.assemble_features(plan.pop("ixs"))
+        plan.update(feats)
+        return plan

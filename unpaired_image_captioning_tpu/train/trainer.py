@@ -356,6 +356,10 @@ class Trainer:
             "best_cider": self.best_cider, "best_nmt_acc": self.best_nmt_acc,
             "opt": self.cfg.to_dict(),
             "loader_state": loader_state,
+            # rng stream position: resume reproduces the exact dropout /
+            # scheduled-sampling coins and SCST samples (the reference's
+            # resume does not — torch RNG state isn't in its checkpoints)
+            "rng": np.asarray(self.rng).tolist(),
         }
         self.ckpt.save(i2t_params=self.i2t_params, nmt_params=self.nmt_params,
                        optim_state=self.optim.state_dict(), infos=infos,
@@ -394,4 +398,6 @@ class Trainer:
         self.epoch_nmt = infos["epoch_nmt"]
         self.best_cider = infos.get("best_cider")
         self.best_nmt_acc = infos.get("best_nmt_acc")
+        if infos.get("rng") is not None:
+            self.rng = jnp.asarray(infos["rng"], jnp.uint32)
         return infos
