@@ -99,3 +99,67 @@ def test_raw_image_loader(tmp_path):
     assert np.isfinite(data["fc_feats"]).all()
     data2 = loader.get_batch()
     assert data2["bounds"]["wrapped"]  # 3 images, batch 2 -> wraps
+
+
+def test_nmt_preprocess_cli(tmp_path, capsys):
+    """cli.preprocess: shuffle-then-length-sort (prepro_aic_nmt.py:276-296),
+    BPE learn+apply (vendored subword-nmt role), existing-dict reuse, and
+    the dict-coverage report."""
+    import h5py
+
+    from unpaired_image_captioning_tpu.cli import preprocess
+
+    rng = np.random.RandomState(0)
+    words = [f"tok{i}" for i in range(30)]
+    src_lines, tgt_lines = [], []
+    for _ in range(60):
+        n = rng.randint(1, 9)
+        src_lines.append(" ".join(words[j] for j in rng.randint(0, 30, n)))
+        tgt_lines.append(" ".join(words[j] for j in rng.randint(0, 30, n)))
+    (tmp_path / "train.src").write_text("\n".join(src_lines))
+    (tmp_path / "train.tgt").write_text("\n".join(tgt_lines))
+
+    save = str(tmp_path / "nmt")
+    preprocess.main(["-train_src", str(tmp_path / "train.src"),
+                     "-train_tgt", str(tmp_path / "train.tgt"),
+                     "-save_data", save, "-src_vocab_size", "20",
+                     "-shuffle", "1"])
+    out = capsys.readouterr().out
+    assert "dict coverage" in out
+    with h5py.File(save + ".train.h5") as f:
+        src = f["src"][...]
+    # sorted by src length ascending (stable after the shuffle)
+    lens = (src > 0).sum(1)
+    assert (np.diff(lens) >= 0).all()
+    # pruned src dict -> UNKs present, coverage < 100
+    assert (src == 1).any()
+
+    # shuffle changes within-length order but not the sorted-length profile
+    preprocess.main(["-train_src", str(tmp_path / "train.src"),
+                     "-train_tgt", str(tmp_path / "train.tgt"),
+                     "-save_data", save + "2", "-src_vocab_size", "20",
+                     "-shuffle", "1", "-seed", "77"])
+    with h5py.File(save + "2.train.h5") as f:
+        src2 = f["src"][...]
+    assert ((src2 > 0).sum(1) == lens).all()
+    assert not np.array_equal(src2, src)
+
+    # dict reuse: -src_vocab loads the exact same dict
+    preprocess.main(["-train_src", str(tmp_path / "train.src"),
+                     "-train_tgt", str(tmp_path / "train.tgt"),
+                     "-save_data", save + "3",
+                     "-src_vocab", save + ".src_dict.json", "-shuffle", "0"])
+    a = json.load(open(save + ".src_dict.json"))
+    b = json.load(open(save + "3.src_dict.json"))
+    assert a == b
+
+    # BPE: learned codes file + segmented stream encodes without UNK
+    preprocess.main(["-train_src", str(tmp_path / "train.src"),
+                     "-train_tgt", str(tmp_path / "train.tgt"),
+                     "-save_data", save + "bpe", "-src_bpe_merges", "50",
+                     "-src_seq_length", "200", "-shuffle", "0"])
+    assert os.path.exists(save + "bpe.src_bpe.codes")
+    with h5py.File(save + "bpe.train.h5") as f:
+        srcb = f["src"][...]
+    # subword vocab is closed over the corpus -> full coverage
+    assert not (srcb == 1).any()

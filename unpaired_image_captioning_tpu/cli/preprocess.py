@@ -1,9 +1,13 @@
 """NMT corpus preprocessing CLI.
 
 Parity: reference `scripts/prepro_aic_nmt.py` + vendored OpenNMT
-`preprocess.py` — build src/tgt Dicts with frequency pruning, length/ratio
-filtering, encode with BOS/EOS on the target side, save h5 (`src`,`tgt`)
-plus dict jsons. PAD=0/UNK=1/BOS=2/EOS=3 conventions (onmt.Constants).
+`preprocess.py` — build src/tgt Dicts with frequency pruning, length
+filtering, encode with BOS/EOS on the target side, `-shuffle` then
+sort-by-src-length (prepro_aic_nmt.py:276-296), optional BPE
+(the vendored subword-nmt role, utils/bpe.py), existing-dict reuse
+(`initVocabulary`'s vocabFile path, prepro_aic_nmt.py:118-128), and a
+dict-coverage report (non-UNK token rate per side). Saves h5
+(`src`,`tgt`) plus dict jsons. PAD=0/UNK=1/BOS=2/EOS=3 (onmt.Constants).
 """
 
 from __future__ import annotations
@@ -15,9 +19,14 @@ import os
 import numpy as np
 
 
-def build_dict(path: str, size: int, lower: bool = False):
-    from ..vocab import make_nmt_dict
+def build_dict(path: str, size: int, lower: bool = False, vocab_file: str = ""):
+    from ..vocab import Dict, make_nmt_dict
 
+    if vocab_file:
+        with open(vocab_file, encoding="utf-8") as f:
+            d = Dict.from_state_dict(json.load(f))
+        print(f"loaded dict from {vocab_file}: {d.size()} entries")
+        return d
     d = make_nmt_dict(lower=lower)
     with open(path, encoding="utf-8") as f:
         for line in f:
@@ -30,7 +39,8 @@ def build_dict(path: str, size: int, lower: bool = False):
 
 
 def encode_corpus(src_path, tgt_path, src_dict, tgt_dict, *, src_seq_length,
-                  tgt_seq_length):
+                  tgt_seq_length, shuffle=0, seed=3435, src_bpe=None,
+                  tgt_bpe=None, report_name=""):
     from .. import constants as C
 
     srcs, tgts = [], []
@@ -38,6 +48,10 @@ def encode_corpus(src_path, tgt_path, src_dict, tgt_dict, *, src_seq_length,
     with open(src_path, encoding="utf-8") as fs, \
             open(tgt_path, encoding="utf-8") as ft:
         for sline, tline in zip(fs, ft):
+            if src_bpe is not None:
+                sline = src_bpe.segment(sline)
+            if tgt_bpe is not None:
+                tline = tgt_bpe.segment(tline)
             s, t = sline.split(), tline.split()
             if (not s or not t or len(s) > src_seq_length
                     or len(t) > tgt_seq_length):
@@ -49,6 +63,37 @@ def encode_corpus(src_path, tgt_path, src_dict, tgt_dict, *, src_seq_length,
                                                 eos_word=C.EOS_WORD))
             kept += 1
     print(f"kept {kept}, dropped {dropped} (length filter)")
+
+    # -shuffle then stable sort by src length (prepro_aic_nmt.py:276-296 —
+    # the shuffle decides the order WITHIN each length bucket, which is what
+    # the bucketed batcher then consumes)
+    if shuffle:
+        rng = np.random.RandomState(seed)
+        perm = rng.permutation(kept)
+        srcs = [srcs[i] for i in perm]
+        tgts = [tgts[i] for i in perm]
+    order = np.argsort([len(s) for s in srcs], kind="stable")
+    srcs = [srcs[i] for i in order]
+    tgts = [tgts[i] for i in order]
+
+    # dict-coverage report: fraction of corpus tokens that map to a real
+    # dict entry (not UNK) — the number that predicts UNK-replacement load
+    # at translate time
+    def coverage(rows, skip_specials):
+        total = unk = 0
+        for r in rows:
+            for tok in r:
+                if skip_specials and tok in (C.PAD, C.BOS, C.EOS):
+                    continue
+                total += 1
+                unk += int(tok == C.UNK)
+        return 100.0 * (1 - unk / max(total, 1))
+
+    if report_name:
+        print(f"{report_name} dict coverage: "
+              f"src {coverage(srcs, False):.2f}% / "
+              f"tgt {coverage(tgts, True):.2f}% non-UNK tokens")
+
     max_s = max(len(x) for x in srcs)
     max_t = max(len(x) for x in tgts)
     src = np.zeros((kept, max_s), np.int32)
@@ -57,6 +102,22 @@ def encode_corpus(src_path, tgt_path, src_dict, tgt_dict, *, src_seq_length,
         src[i, :len(s)] = s
         tgt[i, :len(t)] = t
     return src, tgt
+
+
+def _maybe_bpe(corpus_path, merges, codes_path, save_codes_path):
+    """Load or learn BPE codes; returns a BPE segmenter or None."""
+    from ..utils.bpe import BPE, learn_bpe, load_codes, save_codes
+
+    if codes_path:
+        return BPE(load_codes(codes_path))
+    if merges > 0:
+        with open(corpus_path, encoding="utf-8") as f:
+            codes = learn_bpe(f, num_merges=merges)
+        if save_codes_path:
+            save_codes(codes, save_codes_path)
+            print(f"learned {len(codes)} BPE merges -> {save_codes_path}")
+        return BPE(codes)
+    return None
 
 
 def main(argv=None):
@@ -72,16 +133,52 @@ def main(argv=None):
     p.add_argument("-tgt_vocab_size", type=int, default=50000)
     p.add_argument("-src_seq_length", type=int, default=50)
     p.add_argument("-tgt_seq_length", type=int, default=50)
+    p.add_argument("-src_vocab", default="",
+                   help="existing src dict json to reuse instead of building")
+    p.add_argument("-tgt_vocab", default="")
+    p.add_argument("-shuffle", type=int, default=1,
+                   help="shuffle before the length sort (prepro_aic_nmt.py:71)")
+    p.add_argument("-seed", type=int, default=3435)
+    p.add_argument("-src_bpe_merges", type=int, default=0,
+                   help="learn N BPE merges on the src corpus and apply")
+    p.add_argument("-tgt_bpe_merges", type=int, default=0)
+    p.add_argument("-src_bpe_codes", default="",
+                   help="existing subword-nmt codes file to apply to src")
+    p.add_argument("-tgt_bpe_codes", default="")
     p.add_argument("-lower", action="store_true")
     args = p.parse_args(argv)
 
-    src_dict = build_dict(args.train_src, args.src_vocab_size, args.lower)
-    tgt_dict = build_dict(args.train_tgt, args.tgt_vocab_size, args.lower)
-
     os.makedirs(os.path.dirname(args.save_data) or ".", exist_ok=True)
+    src_bpe = _maybe_bpe(args.train_src, args.src_bpe_merges,
+                         args.src_bpe_codes, args.save_data + ".src_bpe.codes")
+    tgt_bpe = _maybe_bpe(args.train_tgt, args.tgt_bpe_merges,
+                         args.tgt_bpe_codes, args.save_data + ".tgt_bpe.codes")
+
+    def dict_corpus(path, bpe):
+        """Dict built over the BPE-segmented stream when BPE is active."""
+        if bpe is None:
+            return path
+        seg_path = args.save_data + ".tmp_seg.txt"
+        with open(path, encoding="utf-8") as f, \
+                open(seg_path, "w", encoding="utf-8") as out:
+            for line in f:
+                out.write(bpe.segment(line) + "\n")
+        return seg_path
+
+    src_dict = build_dict(dict_corpus(args.train_src, src_bpe),
+                          args.src_vocab_size, args.lower, args.src_vocab)
+    tgt_dict = build_dict(dict_corpus(args.train_tgt, tgt_bpe),
+                          args.tgt_vocab_size, args.lower, args.tgt_vocab)
+    tmp_seg = args.save_data + ".tmp_seg.txt"
+    if os.path.exists(tmp_seg):
+        os.remove(tmp_seg)
+
     src, tgt = encode_corpus(args.train_src, args.train_tgt, src_dict,
                              tgt_dict, src_seq_length=args.src_seq_length,
-                             tgt_seq_length=args.tgt_seq_length)
+                             tgt_seq_length=args.tgt_seq_length,
+                             shuffle=args.shuffle, seed=args.seed,
+                             src_bpe=src_bpe, tgt_bpe=tgt_bpe,
+                             report_name="train")
     with h5py.File(args.save_data + ".train.h5", "w") as f:
         f["src"] = src
         f["tgt"] = tgt
@@ -89,7 +186,9 @@ def main(argv=None):
         vsrc, vtgt = encode_corpus(args.valid_src, args.valid_tgt, src_dict,
                                    tgt_dict,
                                    src_seq_length=args.src_seq_length,
-                                   tgt_seq_length=args.tgt_seq_length)
+                                   tgt_seq_length=args.tgt_seq_length,
+                                   src_bpe=src_bpe, tgt_bpe=tgt_bpe,
+                                   report_name="valid")
         with h5py.File(args.save_data + ".valid.h5", "w") as f:
             f["src"] = vsrc
             f["tgt"] = vtgt
