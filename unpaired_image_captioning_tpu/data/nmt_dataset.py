@@ -69,11 +69,20 @@ class NMTDataset:
         return len(self)
 
     def state_dict(self) -> dict:
-        return {"batch_idx": self.batch_idx, "order": self.order.tolist()}
+        # rng state included: without it a resumed run's NEXT epoch-wrap
+        # shuffle diverges from the uninterrupted run's
+        # (tests/test_joint_recipe.py::test_joint_recipe_resume_reproduces)
+        r = self.rng.get_state()
+        return {"batch_idx": self.batch_idx, "order": self.order.tolist(),
+                "rng": [r[0], np.asarray(r[1]).tolist(), r[2], r[3], r[4]]}
 
     def load_state_dict(self, state: dict) -> None:
         self.batch_idx = state["batch_idx"]
         self.order = np.asarray(state["order"], np.int64)
+        if "rng" in state:
+            r = state["rng"]
+            self.rng.set_state((r[0], np.asarray(r[1], np.uint32), int(r[2]),
+                                int(r[3]), float(r[4])))
 
     def next_batch(self) -> Tuple[Dict[str, np.ndarray], bool]:
         """Returns (batch dict, wrapped flag). Batch is fixed-shape
