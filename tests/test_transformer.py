@@ -72,7 +72,7 @@ def test_beam_cross_kv_share_parity(rng):
         assert model.beam_ctx_no_expand == ()
         r_exp = model.sample_beam(params, feats, beam_size=5)
         tmod.CROSS_KV_SHARE = True
-        assert model.beam_ctx_no_expand == ("cross", "src_mask")
+        assert model.beam_ctx_no_expand == ("cross", "src_mask", "wpack")
         r_shr = model.sample_beam(params, feats, beam_size=5)
     finally:
         tmod.CROSS_KV_SHARE = old
@@ -159,3 +159,87 @@ def test_step_per_row_positions(rng):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(lp_comb[1]), np.asarray(lp1[0]),
                                atol=1e-5)
+
+
+def test_layer_kernel_matches_xla_step(rng):
+    """The fused decoder-layer Pallas kernel (ops/transformer_decode.py,
+    interpret mode here) reproduces the XLA step path — logprobs AND
+    per-layer K/V caches — over sequential steps and under diverse-beam
+    time-staggered per-row positions, for kb=1 (greedy) and kb=2 (shared
+    beam memory)."""
+    import math
+
+    from unpaired_image_captioning_tpu.models.transformer import (
+        layer_norm, linear, positional_encoding)
+    from unpaired_image_captioning_tpu.ops.transformer_decode import (
+        decoder_layer_step, pack_layer_weights)
+
+    cfg = Config(caption_model="transformer", vocab_size=V, rnn_size=32,
+                 num_layers=2, input_encoding_size=16, att_hid_size=16,
+                 fc_feat_size=10, att_feat_size=12, seq_length=T,
+                 drop_prob_lm=0.0, num_heads=4)
+    model = models.setup(cfg)
+    params = model.init_params(rng)
+    ks = jax.random.split(rng, 4)
+    feats = Features(
+        fc_feats=jax.random.normal(ks[0], (B, 10)),
+        att_feats=jax.random.normal(ks[1], (B, N, 12)),
+        att_masks=jnp.ones((B, N)).at[0, 3:].set(0.0))
+    wpacks = [pack_layer_weights(lp) for lp in params["dec"]]
+    d = model.d_model
+
+    def kernel_step(ctx, state, it):
+        t = state["t"]
+        x = params["tgt_embed"][it] * math.sqrt(d)
+        x = x + positional_encoding(T, d)[t].astype(x.dtype)
+        new_state = {"t": t + 1}
+        for li in range(model.num_layers):
+            x, k_li, v_li = decoder_layer_step(
+                x, t, ctx["cross"][li]["k"], ctx["cross"][li]["v"],
+                ctx["src_mask"], state[f"k{li}"], state[f"v{li}"],
+                wpacks[li], n_heads=model.num_heads, interpret=True)
+            new_state[f"k{li}"] = k_li
+            new_state[f"v{li}"] = v_li
+        x = layer_norm(params["dec_norm"], x[:, None, :])[:, 0]
+        logits = linear(params["generator"], x)
+        return jax.nn.log_softmax(logits.astype(jnp.float32), -1), new_state
+
+    for kb in (1, 2):
+        ctx, st_x = model.make_decoder(params, feats)
+        rows = B * kb
+        if kb > 1:  # beam-expanded rows over shared [B] cross memory
+            st_x = jax.tree.map(
+                lambda a: jnp.repeat(a, kb, axis=0), st_x)
+        st_k = {"t": st_x["t"]}
+        for li in range(model.num_layers):
+            st_k[f"k{li}"] = st_x["k"][:, li]
+            st_k[f"v{li}"] = st_x["v"][:, li]
+
+        its = jax.random.randint(ks[2], (3, rows), 1, V)
+        for step_i in range(3):
+            it = its[step_i]
+            lp_x, st_x = model.step(params, ctx, st_x, it)
+            lp_k, st_k = kernel_step(ctx, st_k, it)
+            np.testing.assert_allclose(np.asarray(lp_k), np.asarray(lp_x),
+                                       rtol=2e-5, atol=2e-5)
+            for li in range(model.num_layers):
+                np.testing.assert_allclose(np.asarray(st_k[f"k{li}"]),
+                                           np.asarray(st_x["k"][:, li]),
+                                           rtol=2e-5, atol=2e-5)
+                np.testing.assert_allclose(np.asarray(st_k[f"v{li}"]),
+                                           np.asarray(st_x["v"][:, li]),
+                                           rtol=2e-5, atol=2e-5)
+
+    # staggered per-row positions (diverse-beam groups)
+    ctx, st_x = model.make_decoder(params, feats)
+    stag = jnp.asarray([0, 1, 2], jnp.int32)
+    st_x = dict(st_x, t=stag)
+    st_k = {"t": stag, **{f"k{li}": st_x["k"][:, li]
+                          for li in range(model.num_layers)},
+            **{f"v{li}": st_x["v"][:, li]
+               for li in range(model.num_layers)}}
+    it = jnp.asarray([3, 4, 5], jnp.int32)
+    lp_x, _ = model.step(params, ctx, st_x, it)
+    lp_k, _ = kernel_step(ctx, st_k, it)
+    np.testing.assert_allclose(np.asarray(lp_k), np.asarray(lp_x),
+                               rtol=2e-5, atol=2e-5)

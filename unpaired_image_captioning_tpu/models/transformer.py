@@ -149,6 +149,21 @@ def cross_attend_shared(p, y, ck, cv, src_mask, n_heads: int):
 # outputs are token- and score-identical either way (test_transformer.py).
 CROSS_KV_SHARE = True
 
+# Fused whole-layer decode kernel (ops/transformer_decode.py): each decoder
+# layer's step — LN/packed-QKV/cache-write/self-attn/cross-attn/FFN — runs
+# as ONE Pallas program instead of ~16 XLA ops, collapsing the ~100-small-op
+# per-step spread that made transformer decode the per-family outlier
+# (round-2 STATUS: ~4x above its HBM floor). Requires CROSS_KV_SHARE
+# layouts; numerics parity-tested in interpret mode
+# (test_transformer.py::test_layer_kernel_matches_xla_step). v5e A/B
+# (tools/perf/prof_decode_configs.py transformer5): see BASELINE.md.
+LAYER_KERNEL = True
+
+
+def _use_layer_kernel(training: bool) -> bool:
+    return (LAYER_KERNEL and CROSS_KV_SHARE and not training
+            and jax.default_backend() == "tpu")
+
 
 @dataclasses.dataclass(frozen=True)
 class TransformerModel(CaptionDecoder):
@@ -163,8 +178,9 @@ class TransformerModel(CaptionDecoder):
         # Unlike the LSTM-attention family (whose K-unrolled fused kernel
         # lost the A/B, att.py beam_ctx_no_expand), the transformer's cross
         # K/V is num_layers× larger and read by a plain MXU einsum, so
-        # sharing it across beams wins; gated by CROSS_KV_SHARE.
-        return ("cross", "src_mask") if CROSS_KV_SHARE else ()
+        # sharing it across beams wins; gated by CROSS_KV_SHARE. "wpack"
+        # (fused-layer kernel weights) is beam-invariant by definition.
+        return ("cross", "src_mask", "wpack") if CROSS_KV_SHARE else ()
 
     @property
     def d_model(self) -> int:
@@ -306,6 +322,19 @@ class TransformerModel(CaptionDecoder):
                "src_mask": (src_mask if src_mask is not None else None)}
         b = feats.att_feats.shape[0]
         T = self.seq_length
+        if _use_layer_kernel(training):
+            # fused-layer path: per-layer cache entries (aliased in place by
+            # the kernel — a packed [b, L, T, d] layout would force 4 MB
+            # slice/update copies per layer per step) + packed weights in
+            # ctx (beam-invariant, listed in beam_ctx_no_expand)
+            from ..ops.transformer_decode import pack_layer_weights
+
+            ctx["wpack"] = [pack_layer_weights(lp) for lp in params["dec"]]
+            cache = {"t": jnp.zeros((b,), jnp.int32)}
+            for li in range(self.num_layers):
+                cache[f"k{li}"] = jnp.zeros((b, T, self.d_model), memory.dtype)
+                cache[f"v{li}"] = jnp.zeros((b, T, self.d_model), memory.dtype)
+            return ctx, cache
         cache = {
             "k": jnp.zeros((b, self.num_layers, T, self.d_model), memory.dtype),
             "v": jnp.zeros((b, self.num_layers, T, self.d_model), memory.dtype),
@@ -318,6 +347,25 @@ class TransformerModel(CaptionDecoder):
         d = self.d_model
         T = self.seq_length
         b = it.shape[0]
+        if "wpack" in ctx and "k" not in state:
+            # fused whole-layer kernel path (ops/transformer_decode.py)
+            from ..ops.transformer_decode import decoder_layer_step
+
+            t = state["t"]
+            x = params["tgt_embed"][it] * math.sqrt(d)
+            x = x + positional_encoding(T, d)[t].astype(x.dtype)
+            new_state = {"t": t + 1}
+            for li in range(self.num_layers):
+                x, k_li, v_li = decoder_layer_step(
+                    x, t, ctx["cross"][li]["k"], ctx["cross"][li]["v"],
+                    ctx["src_mask"], state[f"k{li}"], state[f"v{li}"],
+                    ctx["wpack"][li], n_heads=self.num_heads)
+                new_state[f"k{li}"] = k_li
+                new_state[f"v{li}"] = v_li
+            x = layer_norm(params["dec_norm"], x[:, None, :])[:, 0]
+            logits = linear(params["generator"], x)
+            return (jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1),
+                    new_state)
         # per-row position: under diverse beam search (group_size > 1) groups
         # are time-staggered, so each row carries its own t (ADVICE r1 —
         # row 0's t would give groups g > 0 the wrong positional encoding
