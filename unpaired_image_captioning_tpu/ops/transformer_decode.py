@@ -37,7 +37,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-VMEM_BUDGET = 12 * 1024 * 1024
+import os
+
+VMEM_BUDGET = int(os.environ.get("UIC_TFD_VMEM_BUDGET",
+                                 str(12 * 1024 * 1024)))
 
 
 def pack_layer_weights(lp) -> dict:
@@ -110,26 +113,34 @@ def _layer_kernel(x_ref, t_ref, ck_ref, cv_ref, mask_ref, cache_k_ref,
     cv_new = jnp.where(write > 0, v_t[:, None, :], cache_v)
     ko_ref[:] = ck_new.reshape(bi, kb, T, d)
     vo_ref[:] = cv_new.reshape(bi, kb, T, d)
-    # per-head VPU multiply-reduce over dh (T is tiny); head slices are
-    # contiguous d-columns, and every minor-dim insert happens on f32
-    # (Mosaic: bf16 minor-dim insertion is unsupported)
+    # per-head VPU multiply-reduce over dh (T is tiny). Head slicing and
+    # minor-dim inserts happen on f32 only — Mosaic supports neither
+    # non-32-bit minor-dim insertion nor minor-dim splitting reshapes
+    # (f32 included: "unsupported shape cast"), so the per-head loop with
+    # f32 column slices is the compilable formulation.
     pos_ok = (col <= t)                            # [rows, T]
     s_outs = []
     for h in range(n_heads):
         sl = slice(h * dh, (h + 1) * dh)
+        # slice bf16 then cast per head (full f32 copies of the caches
+        # blow the VMEM budget); newaxis and slice stay separate ops —
+        # combined they lower to an unsupported in-kernel gather
         q_h = q[:, sl].astype(jnp.float32)
         k_h = ck_new[:, :, sl].astype(jnp.float32)
         sc = jnp.sum(q_h[:, None, :] * k_h, axis=-1) / math.sqrt(dh)
         sc = jnp.where(pos_ok, sc, -1e9)
         a_h = jax.nn.softmax(sc, axis=1)           # [rows, T] f32
         v_h = cv_new[:, :, sl].astype(jnp.float32)
-        s_outs.append(jnp.sum(a_h[:, :, None] * v_h, axis=1).astype(dt))
-    out = jnp.concatenate(s_outs, axis=-1)         # [rows, d]
+        s_outs.append(jnp.sum(a_h[:, :, None] * v_h, axis=1))
+    out = jnp.concatenate(s_outs, axis=-1).astype(dt)   # [rows, d]
     x = x + (_mm(out, w["wo_s"]) + w["bo_s"].astype(jnp.float32)).astype(dt)
 
     # ---- cross-attention over shared [BI, S, d] encoder memory ----
+    # (a head-major [BI, H, S, dh] layout was A/B'd and rejected: the
+    # 64-wide minor dim pads to the 128-lane bf16 tile, doubling the
+    # ck/cv VMEM footprint and blowing the scoped budget)
     y = _ln(x, w["ln2_s"], w["ln2_b"])
-    q2 = (_mm(y, w["wq_c"]) + w["bq_c"].astype(jnp.float32)).astype(dt)
+    q2 = _mm(y, w["wq_c"]) + w["bq_c"].astype(jnp.float32)  # f32 [rows, d]
     q2 = q2.reshape(bi, kb, d)
     ck, cv = ck_ref[:], cv_ref[:]                  # [BI, S, d]
     m = mask_ref[:][:, 0, :]                       # [BI, S] (1 = keep)
@@ -137,15 +148,15 @@ def _layer_kernel(x_ref, t_ref, ck_ref, cv_ref, mask_ref, cache_k_ref,
     for h in range(n_heads):
         sl = slice(h * dh, (h + 1) * dh)
         sc = jax.lax.dot_general(                  # [BI, kb, S]
-            q2[:, :, sl], ck[:, :, sl],
+            q2[:, :, sl].astype(dt), ck[:, :, sl],
             (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) / math.sqrt(dh)
         sc = jnp.where(m[:, None, :] > 0, sc, -1e9)
         wgt = jax.nn.softmax(sc, axis=-1).astype(dt)
         outs.append(jax.lax.dot_general(           # [BI, kb, dh]
             wgt, cv[:, :, sl], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(dt))
-    out2 = jnp.concatenate(outs, axis=-1).reshape(rows, d)
+            preferred_element_type=jnp.float32))
+    out2 = jnp.concatenate(outs, axis=-1).reshape(rows, d).astype(dt)
     x = x + (_mm(out2, w["wo_c"]) + w["bo_c"].astype(jnp.float32)).astype(dt)
 
     # ---- FFN ----
@@ -175,8 +186,7 @@ def decoder_layer_step(x, t, ck, cv, src_mask, cache_k, cache_v, wpack,
 
     x [R, d]; t [R] int32 per-row positions; ck/cv [B, S, d] unexpanded
     cross K/V; src_mask [B, S] (1 = attend) or None; cache_k/v [R, T, d]
-    this layer's self-attention cache. Returns (x', cache_k', cache_v').
-    """
+    this layer's self-attention cache. Returns (x', cache_k', cache_v')."""
     R, d = x.shape
     B, S, _ = ck.shape
     kb = R // B
