@@ -72,7 +72,8 @@ def test_beam_cross_kv_share_parity(rng):
         assert model.beam_ctx_no_expand == ()
         r_exp = model.sample_beam(params, feats, beam_size=5)
         tmod.CROSS_KV_SHARE = True
-        assert model.beam_ctx_no_expand == ("cross", "src_mask", "wpack")
+        assert set(("cross", "src_mask", "wpack", "wstack")) <= set(
+            model.beam_ctx_no_expand)
         r_shr = model.sample_beam(params, feats, beam_size=5)
     finally:
         tmod.CROSS_KV_SHARE = old
@@ -242,4 +243,79 @@ def test_layer_kernel_matches_xla_step(rng):
     lp_x, _ = model.step(params, ctx, st_x, it)
     lp_k, _ = kernel_step(ctx, st_k, it)
     np.testing.assert_allclose(np.asarray(lp_k), np.asarray(lp_x),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_stack_kernel_matches_xla_step(rng):
+    """The whole-stack Pallas kernel (decoder_stack_step: all L fused layers
+    in one grid-(L, B/bi) program, weights DMA'd per layer, x carried in the
+    output buffer) reproduces the XLA step path — logprobs AND the stacked
+    [R, L, T, d] K/V caches — over sequential steps, for kb=1 and kb=2, and
+    under diverse-beam time-staggered per-row positions."""
+    import math
+
+    from unpaired_image_captioning_tpu.models.transformer import (
+        layer_norm, linear, positional_encoding)
+    from unpaired_image_captioning_tpu.ops.transformer_decode import (
+        decoder_stack_step, pack_stack_weights)
+
+    cfg = Config(caption_model="transformer", vocab_size=V, rnn_size=32,
+                 num_layers=3, input_encoding_size=16, att_hid_size=16,
+                 fc_feat_size=10, att_feat_size=12, seq_length=T,
+                 drop_prob_lm=0.0, num_heads=4)
+    model = models.setup(cfg)
+    params = model.init_params(rng)
+    ks = jax.random.split(rng, 4)
+    feats = Features(
+        fc_feats=jax.random.normal(ks[0], (B, 10)),
+        att_feats=jax.random.normal(ks[1], (B, N, 12)),
+        att_masks=jnp.ones((B, N)).at[0, 3:].set(0.0))
+    wstack = pack_stack_weights(params["dec"])
+    d = model.d_model
+    L = model.num_layers
+
+    def stack_step(ctx, state, it):
+        t = state["t"]
+        x = params["tgt_embed"][it] * math.sqrt(d)
+        x = x + positional_encoding(T, d)[t].astype(x.dtype)
+        ck_all = jnp.stack([c["k"] for c in ctx["cross"]])
+        cv_all = jnp.stack([c["v"] for c in ctx["cross"]])
+        x, k_all, v_all = decoder_stack_step(
+            x, t, ck_all, cv_all, ctx["src_mask"], state["k_all"],
+            state["v_all"], wstack, n_heads=model.num_heads, interpret=True)
+        new_state = {"t": t + 1, "k_all": k_all, "v_all": v_all}
+        x = layer_norm(params["dec_norm"], x[:, None, :])[:, 0]
+        logits = linear(params["generator"], x)
+        return jax.nn.log_softmax(logits.astype(jnp.float32), -1), new_state
+
+    for kb in (1, 2):
+        ctx, st_x = model.make_decoder(params, feats)
+        rows = B * kb
+        if kb > 1:
+            st_x = jax.tree.map(lambda a: jnp.repeat(a, kb, axis=0), st_x)
+        st_s = {"t": st_x["t"], "k_all": st_x["k"], "v_all": st_x["v"]}
+
+        its = jax.random.randint(ks[2], (3, rows), 1, V)
+        for step_i in range(3):
+            it = its[step_i]
+            lp_x, st_x = model.step(params, ctx, st_x, it)
+            lp_s, st_s = stack_step(ctx, st_s, it)
+            np.testing.assert_allclose(np.asarray(lp_s), np.asarray(lp_x),
+                                       rtol=2e-5, atol=2e-5)
+            np.testing.assert_allclose(np.asarray(st_s["k_all"]),
+                                       np.asarray(st_x["k"]),
+                                       rtol=2e-5, atol=2e-5)
+            np.testing.assert_allclose(np.asarray(st_s["v_all"]),
+                                       np.asarray(st_x["v"]),
+                                       rtol=2e-5, atol=2e-5)
+
+    # staggered per-row positions (diverse-beam groups)
+    ctx, st_x = model.make_decoder(params, feats)
+    stag = jnp.asarray([0, 1, 2], jnp.int32)
+    st_x = dict(st_x, t=stag)
+    st_s = {"t": stag, "k_all": st_x["k"], "v_all": st_x["v"]}
+    it = jnp.asarray([3, 4, 5], jnp.int32)
+    lp_x, _ = model.step(params, ctx, st_x, it)
+    lp_s, _ = stack_step(ctx, st_s, it)
+    np.testing.assert_allclose(np.asarray(lp_s), np.asarray(lp_x),
                                rtol=2e-5, atol=2e-5)

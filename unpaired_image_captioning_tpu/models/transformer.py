@@ -159,9 +159,22 @@ CROSS_KV_SHARE = True
 # (tools/perf/prof_decode_configs.py transformer5): see BASELINE.md.
 LAYER_KERNEL = True
 
+# Whole-stack decode kernel: ONE Pallas program runs all L fused layers per
+# step (grid (L, B/bi), weights DMA-streamed HBM->VMEM once per layer, the
+# residual stream carried in the VMEM output buffer across grid steps) —
+# collapsing L kernel launches + their inter-op scheduling gaps (~50 µs per
+# layer per step measured on v5e, tools/perf/ab_tfd_kernel.py) into one.
+# Falls back to the per-layer kernel when False.
+STACK_KERNEL = True
 
-def _use_layer_kernel(training: bool) -> bool:
+
+def _use_layer_kernel(training: bool, seq_length: int = 16) -> bool:
+    # seq_length % 16: the kernels' [rows, T, d] -> [bi, kb*T, d] cache
+    # reshape (MXU self-attention) is layout-preserving only when T is a
+    # multiple of the bf16 sublane tile (16; covers f32's 8 too) — other
+    # lengths fall back to the XLA step path
     return (LAYER_KERNEL and CROSS_KV_SHARE and not training
+            and seq_length % 16 == 0
             and jax.default_backend() == "tpu")
 
 
@@ -180,7 +193,8 @@ class TransformerModel(CaptionDecoder):
         # K/V is num_layers× larger and read by a plain MXU einsum, so
         # sharing it across beams wins; gated by CROSS_KV_SHARE. "wpack"
         # (fused-layer kernel weights) is beam-invariant by definition.
-        return ("cross", "src_mask", "wpack") if CROSS_KV_SHARE else ()
+        return (("cross", "src_mask", "wpack", "wstack", "cross_k",
+                 "cross_v") if CROSS_KV_SHARE else ())
 
     @property
     def d_model(self) -> int:
@@ -322,7 +336,26 @@ class TransformerModel(CaptionDecoder):
                "src_mask": (src_mask if src_mask is not None else None)}
         b = feats.att_feats.shape[0]
         T = self.seq_length
-        if _use_layer_kernel(training):
+        if _use_layer_kernel(training, self.seq_length):
+            if STACK_KERNEL:
+                # whole-stack path: ONE Pallas program per decode step for
+                # all L layers. Caches are one [b, L, T, d] state leaf — row
+                # axis leading keeps beam search's axis-0 reorder and the
+                # kernel's in-place aliasing working (the kernel blocks the
+                # middle layer axis, so no per-layer slice copies occur).
+                from ..ops.transformer_decode import pack_stack_weights
+
+                ctx["wstack"] = pack_stack_weights(params["dec"])
+                ctx["cross_k"] = jnp.stack([c["k"] for c in cross])
+                ctx["cross_v"] = jnp.stack([c["v"] for c in cross])
+                del ctx["cross"]
+                L = self.num_layers
+                cache = {
+                    "t": jnp.zeros((b,), jnp.int32),
+                    "k_all": jnp.zeros((b, L, T, self.d_model), memory.dtype),
+                    "v_all": jnp.zeros((b, L, T, self.d_model), memory.dtype),
+                }
+                return ctx, cache
             # fused-layer path: per-layer cache entries (aliased in place by
             # the kernel — a packed [b, L, T, d] layout would force 4 MB
             # slice/update copies per layer per step) + packed weights in
@@ -347,6 +380,23 @@ class TransformerModel(CaptionDecoder):
         d = self.d_model
         T = self.seq_length
         b = it.shape[0]
+        if "wstack" in ctx and "k" not in state:
+            # fused whole-stack kernel path (ops/transformer_decode.py):
+            # all L layers in one Pallas program per step
+            from ..ops.transformer_decode import decoder_stack_step
+
+            t = state["t"]
+            x = params["tgt_embed"][it] * math.sqrt(d)
+            x = x + positional_encoding(T, d)[t].astype(x.dtype)
+            x, k_all, v_all = decoder_stack_step(
+                x, t, ctx["cross_k"], ctx["cross_v"], ctx["src_mask"],
+                state["k_all"], state["v_all"], ctx["wstack"],
+                n_heads=self.num_heads)
+            new_state = {"t": t + 1, "k_all": k_all, "v_all": v_all}
+            x = layer_norm(params["dec_norm"], x[:, None, :])[:, 0]
+            logits = linear(params["generator"], x)
+            return (jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1),
+                    new_state)
         if "wpack" in ctx and "k" not in state:
             # fused whole-layer kernel path (ops/transformer_decode.py)
             from ..ops.transformer_decode import decoder_layer_step

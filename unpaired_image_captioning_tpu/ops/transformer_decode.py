@@ -84,21 +84,15 @@ def _mm(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _layer_kernel(x_ref, t_ref, ck_ref, cv_ref, mask_ref, cache_k_ref,
-                  cache_v_ref, *w_refs, xo_ref, ko_ref, vo_ref,
-                  n_heads: int, kb: int):
-    # row-carrying arrays arrive as [bi, kb, ...] — leading dims are free
-    # of the TPU (8, 128) last-two-dims tiling constraint, so any bi works
-    # without padding; merge to [rows, ...] views in-kernel
-    w = {k: r[:] for k, r in zip(_WKEYS, w_refs)}
-    bi, _, d = x_ref.shape
-    rows = bi * kb
-    x = x_ref[:].reshape(rows, d)
+def _layer_math(x, t, ck, cv, m, cache_k, cache_v, w, *, n_heads: int,
+                bi: int, kb: int):
+    """One decoder layer's math on in-VMEM values. x [rows, d]; t [rows, 1]
+    int32; ck/cv [bi, S, d] shared cross K/V; m [bi, S] src mask; cache_k/v
+    [rows, T, d]. Returns (x_out, ck_new, cv_new). Shared by the per-layer
+    and whole-stack kernels."""
+    rows, d = x.shape
     dh = d // n_heads
-    T = cache_k_ref.shape[2]
-    t = t_ref[:].reshape(rows, 1)                  # int32
-    cache_k = cache_k_ref[:].reshape(rows, T, d)
-    cache_v = cache_v_ref[:].reshape(rows, T, d)
+    T = cache_k.shape[1]
     dt = x.dtype
 
     # ---- self-attention (packed QKV, cache write, pos<=t mask) ----
@@ -111,28 +105,49 @@ def _layer_kernel(x_ref, t_ref, ck_ref, cv_ref, mask_ref, cache_k_ref,
     write = (col == t).astype(jnp.int32)[:, :, None]  # [rows, T, 1]
     ck_new = jnp.where(write > 0, k_t[:, None, :], cache_k)
     cv_new = jnp.where(write > 0, v_t[:, None, :], cache_v)
-    ko_ref[:] = ck_new.reshape(bi, kb, T, d)
-    vo_ref[:] = cv_new.reshape(bi, kb, T, d)
-    # per-head VPU multiply-reduce over dh (T is tiny). Head slicing and
-    # minor-dim inserts happen on f32 only — Mosaic supports neither
-    # non-32-bit minor-dim insertion nor minor-dim splitting reshapes
-    # (f32 included: "unsupported shape cast"), so the per-head loop with
-    # f32 column slices is the compilable formulation.
-    pos_ok = (col <= t)                            # [rows, T]
-    s_outs = []
-    for h in range(n_heads):
-        sl = slice(h * dh, (h + 1) * dh)
-        # slice bf16 then cast per head (full f32 copies of the caches
-        # blow the VMEM budget); newaxis and slice stay separate ops —
-        # combined they lower to an unsupported in-kernel gather
-        q_h = q[:, sl].astype(jnp.float32)
-        k_h = ck_new[:, :, sl].astype(jnp.float32)
-        sc = jnp.sum(q_h[:, None, :] * k_h, axis=-1) / math.sqrt(dh)
-        sc = jnp.where(pos_ok, sc, -1e9)
-        a_h = jax.nn.softmax(sc, axis=1)           # [rows, T] f32
-        v_h = cv_new[:, :, sl].astype(jnp.float32)
-        s_outs.append(jnp.sum(a_h[:, :, None] * v_h, axis=1))
-    out = jnp.concatenate(s_outs, axis=-1).astype(dt)   # [rows, d]
+    # Self-attention on the MXU, mirroring the cross-attention pattern: a
+    # [bi, kb, dh]x[bi, kb*T, dh] batched dot scores EVERY (query-beam,
+    # key-beam) pair; the wrong-beam pairs and future positions are folded
+    # into one softmax mask, so the weighted sum is a second batched dot
+    # with no diagonal extraction. The kb x waste is ~free (MXU M=kb rows
+    # were padding anyway); this replaced a per-head VPU multiply +
+    # LANE-dim reduce chain that profiled ~1.6x over the kernel's HBM
+    # floor. (A transposed [rows, d, T] cache layout that would make the
+    # reduction sublane-cheap was rejected: T=16 minor pads to the
+    # 128-lane tile, 8x-ing cache HBM/VMEM footprint.)
+    ck2 = ck_new.reshape(bi, kb * T, d)
+    cv2 = cv_new.reshape(bi, kb * T, d)
+    q3 = q.reshape(bi, kb, d)
+    colm = jax.lax.broadcasted_iota(jnp.int32, (kb, kb * T), 1)
+    col_j = colm // T                              # key row's beam
+    col_t = colm - col_j * T                       # key row's position
+    row_k = jax.lax.broadcasted_iota(jnp.int32, (kb, kb * T), 0)
+    t3 = t.reshape(bi, kb)
+    ok = jnp.logical_and((col_j == row_k)[None],
+                         col_t[None] <= t3[:, :, None])  # [bi, kb, kb*T]
+    # heads fold into the dot batch dim (head-major stacks are cheap
+    # VMEM-local copies here; the lane pad 64->128 only hits temporaries):
+    # 8 score dots + 8 value dots become 1 + 1
+    hb = n_heads * bi
+    qh = jnp.stack([q3[:, :, h * dh:(h + 1) * dh]
+                    for h in range(n_heads)]).reshape(hb, kb, dh)
+    kh = jnp.stack([ck2[:, :, h * dh:(h + 1) * dh]
+                    for h in range(n_heads)]).reshape(hb, kb * T, dh)
+    vh = jnp.stack([cv2[:, :, h * dh:(h + 1) * dh]
+                    for h in range(n_heads)]).reshape(hb, kb * T, dh)
+    sc = jax.lax.dot_general(                      # [hb, kb, kb*T]
+        qh, kh, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) / math.sqrt(dh)
+    ok_b = jnp.broadcast_to(ok[None], (n_heads,) + ok.shape
+                            ).reshape(hb, kb, kb * T)
+    sc = jnp.where(ok_b, sc, -1e9)
+    a_h = jax.nn.softmax(sc, axis=-1).astype(dt)
+    outh = jax.lax.dot_general(                    # [hb, kb, dh]
+        a_h, vh, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    out = jnp.concatenate([outh[h * bi:(h + 1) * bi]
+                           for h in range(n_heads)], axis=-1)
+    out = out.reshape(rows, d).astype(dt)
     x = x + (_mm(out, w["wo_s"]) + w["bo_s"].astype(jnp.float32)).astype(dt)
 
     # ---- cross-attention over shared [BI, S, d] encoder memory ----
@@ -141,29 +156,224 @@ def _layer_kernel(x_ref, t_ref, ck_ref, cv_ref, mask_ref, cache_k_ref,
     # ck/cv VMEM footprint and blowing the scoped budget)
     y = _ln(x, w["ln2_s"], w["ln2_b"])
     q2 = _mm(y, w["wq_c"]) + w["bq_c"].astype(jnp.float32)  # f32 [rows, d]
-    q2 = q2.reshape(bi, kb, d)
-    ck, cv = ck_ref[:], cv_ref[:]                  # [BI, S, d]
-    m = mask_ref[:][:, 0, :]                       # [BI, S] (1 = keep)
-    outs = []
-    for h in range(n_heads):
-        sl = slice(h * dh, (h + 1) * dh)
-        sc = jax.lax.dot_general(                  # [BI, kb, S]
-            q2[:, :, sl].astype(dt), ck[:, :, sl],
-            (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) / math.sqrt(dh)
-        sc = jnp.where(m[:, None, :] > 0, sc, -1e9)
-        wgt = jax.nn.softmax(sc, axis=-1).astype(dt)
-        outs.append(jax.lax.dot_general(           # [BI, kb, dh]
-            wgt, cv[:, :, sl], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32))
-    out2 = jnp.concatenate(outs, axis=-1).reshape(rows, d).astype(dt)
+    q2 = q2.reshape(bi, kb, d).astype(dt)
+    S = ck.shape[1]
+    q2h = jnp.stack([q2[:, :, h * dh:(h + 1) * dh]
+                     for h in range(n_heads)]).reshape(hb, kb, dh)
+    ckh = jnp.stack([ck[:, :, h * dh:(h + 1) * dh]
+                     for h in range(n_heads)]).reshape(hb, S, dh)
+    cvh = jnp.stack([cv[:, :, h * dh:(h + 1) * dh]
+                     for h in range(n_heads)]).reshape(hb, S, dh)
+    sc2 = jax.lax.dot_general(                     # [hb, kb, S]
+        q2h, ckh, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) / math.sqrt(dh)
+    m_b = jnp.broadcast_to(m[None, :, None, :],
+                           (n_heads, bi, kb, S)).reshape(hb, kb, S)
+    sc2 = jnp.where(m_b > 0, sc2, -1e9)
+    wgt = jax.nn.softmax(sc2, axis=-1).astype(dt)
+    out2h = jax.lax.dot_general(                   # [hb, kb, dh]
+        wgt, cvh, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    out2 = jnp.concatenate([out2h[h * bi:(h + 1) * bi]
+                            for h in range(n_heads)], axis=-1)
+    out2 = out2.reshape(rows, d).astype(dt)
     x = x + (_mm(out2, w["wo_c"]) + w["bo_c"].astype(jnp.float32)).astype(dt)
 
     # ---- FFN ----
     y = _ln(x, w["ln3_s"], w["ln3_b"])
     h1 = jax.nn.relu(_mm(y, w["w1"]) + w["b1"].astype(jnp.float32)).astype(dt)
     x = x + (_mm(h1, w["w2"]) + w["b2"].astype(jnp.float32)).astype(dt)
+    return x, ck_new, cv_new
+
+
+def _layer_kernel(x_ref, t_ref, ck_ref, cv_ref, mask_ref, cache_k_ref,
+                  cache_v_ref, *w_refs, xo_ref, ko_ref, vo_ref,
+                  n_heads: int, kb: int):
+    # row-carrying arrays arrive as [bi, kb, ...] — leading dims are free
+    # of the TPU (8, 128) last-two-dims tiling constraint, so any bi works
+    # without padding; merge to [rows, ...] views in-kernel
+    w = {k: r[:] for k, r in zip(_WKEYS, w_refs)}
+    bi, kb_, d = x_ref.shape
+    rows = bi * kb
+    T = cache_k_ref.shape[2]
+    x, ck_new, cv_new = _layer_math(
+        x_ref[:].reshape(rows, d),
+        t_ref[:].reshape(rows, 1),
+        ck_ref[:], cv_ref[:],
+        mask_ref[:][:, 0, :],
+        cache_k_ref[:].reshape(rows, T, d),
+        cache_v_ref[:].reshape(rows, T, d),
+        w, n_heads=n_heads, bi=bi, kb=kb)
+    ko_ref[:] = ck_new.reshape(bi, kb, T, d)
+    vo_ref[:] = cv_new.reshape(bi, kb, T, d)
     xo_ref[:] = x.reshape(bi, kb, d)
+
+
+# [1, X] bias/LN rows get sublane-padded to [8, X] in the stack layout:
+# Mosaic rejects DMA slices whose second-to-minor dim (1) is unaligned to
+# the dtype tiling (2 for bf16, 8 for f32); 8 covers both.
+_VEC_WKEYS = frozenset(k for k in _WKEYS
+                       if k[0] == "b" or k.startswith("ln"))
+_SUBLANE_PAD = 8
+
+
+def pack_stack_weights(dec_params) -> dict:
+    """Stack every layer's packed weights on a leading layer axis:
+    {key: [L, *shape]} — the whole-stack kernel keeps these in HBM and
+    DMA-streams layer l's slice into VMEM scratch once per layer."""
+    per_layer = [pack_layer_weights(lp) for lp in dec_params]
+
+    def prep(arr):
+        if arr.shape[0] == 1:  # [1, X] -> [8, X] sublane-aligned DMA slice
+            return jnp.broadcast_to(arr, (_SUBLANE_PAD,) + arr.shape[1:])
+        return arr
+
+    return {k: jnp.stack([prep(pl_[k]) for pl_ in per_layer])
+            for k in _WKEYS}
+
+
+def _stack_kernel(x0_ref, t_ref, ck_ref, cv_ref, mask_ref, k_in_ref,
+                  v_in_ref, *rest, n_heads: int, kb: int, bi: int):
+    """Whole-decoder-stack step: grid (L, B/bi), layer-major order. The
+    residual stream x lives in the whole-array output buffer (VMEM-resident
+    across grid steps): step (l, i) reads block i's rows (from x0 at l=0),
+    runs layer l, writes them back. Layer weights sit in HBM and are DMA'd
+    into single-buffered scratch at each layer's first block — auto
+    BlockSpec streaming would double-buffer the ~7 MB weight set and blow
+    VMEM."""
+    n_w = len(_WKEYS)
+    w_hbm = rest[:n_w]
+    xo_ref, ko_ref, vo_ref = rest[n_w:n_w + 3]
+    scrs = rest[n_w + 3:n_w + 3 + n_w]
+    sem = rest[-1]
+    l = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _fetch_weights():
+        for j in range(n_w):
+            pltpu.make_async_copy(w_hbm[j].at[l], scrs[j], sem.at[j]).start()
+        for j in range(n_w):
+            pltpu.make_async_copy(w_hbm[j].at[l], scrs[j], sem.at[j]).wait()
+
+    w = {key: (scrs[j][:][0:1] if key in _VEC_WKEYS else scrs[j][:])
+         for j, key in enumerate(_WKEYS)}
+    d = x0_ref.shape[-1]
+    T = k_in_ref.shape[3]
+    rows = bi * kb
+    x_first = x0_ref[:].reshape(rows, d)
+    x_prev = xo_ref[pl.ds(i * bi, bi)].reshape(rows, d)
+    x = jnp.where(l == 0, x_first, x_prev)
+    x_out, ck_new, cv_new = _layer_math(
+        x,
+        t_ref[:].reshape(rows, 1),
+        ck_ref[:][0], cv_ref[:][0],            # [1,bi,S,d] -> [bi,S,d]
+        mask_ref[:][:, 0, :],
+        k_in_ref[:].reshape(rows, T, d),       # [bi,kb,1,T,d]
+        v_in_ref[:].reshape(rows, T, d),
+        w, n_heads=n_heads, bi=bi, kb=kb)
+    xo_ref[pl.ds(i * bi, bi)] = x_out.reshape(bi, kb, d)
+    ko_ref[:] = ck_new.reshape(bi, kb, 1, T, d)
+    vo_ref[:] = cv_new.reshape(bi, kb, 1, T, d)
+
+
+def _pick_bi_stack(b: int, kb: int, S: int, d: int, T: int, dff: int,
+                   itemsize: int) -> int:
+    """VMEM budget for the stack kernel: weight scratch is single-buffered;
+    cross K/V blocks (2 arrays) and cache blocks (2 in + 2 out) are
+    double-buffered by the pipeline; the x carry is one whole [B,kb,d]
+    buffer."""
+    weights = (3 * d * d + d * d + d * d + d * d + 2 * d * dff) * itemsize
+    fixed = weights + b * kb * d * itemsize
+    for bi in range(b, 0, -1):
+        if b % bi:
+            continue
+        blocks = (2 * 2 * S * d + 2 * 4 * kb * T * d
+                  + 2 * 2 * kb * d) * bi * itemsize
+        if fixed + blocks <= VMEM_BUDGET:
+            return bi
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "interpret"))
+def decoder_stack_step(x, t, ck_all, cv_all, src_mask, cache_k, cache_v,
+                       wstack, *, n_heads: int, interpret: bool = False):
+    """All L fused decoder layers for one decode step in ONE Pallas program.
+
+    x [R, d]; t [R] int32; ck_all/cv_all [L, B, S, d] unexpanded cross K/V;
+    src_mask [B, S] or [B, 1, S] or None; cache_k/v [R, L, T, d] — row axis
+    LEADING so beam search's axis-0 state reorder and in-place aliasing
+    both keep working (the kernel blocks the middle layer axis). wstack:
+    pack_stack_weights output. Returns (x', cache_k', cache_v')."""
+    R, d = x.shape
+    L, B, S, _ = ck_all.shape
+    kb = R // B
+    T = cache_k.shape[2]
+    dff = wstack["w1"].shape[2]
+    if src_mask is None:
+        src_mask = jnp.ones((B, S), jnp.float32)
+    elif src_mask.ndim == 3:
+        src_mask = src_mask[:, 0, :]
+    bi = _pick_bi_stack(B, kb, S, d, T, dff, x.dtype.itemsize)
+    grid = (L, B // bi)
+
+    kern = functools.partial(_stack_kernel, n_heads=n_heads, kb=kb, bi=bi)
+
+    in_specs = [
+        pl.BlockSpec((bi, kb, d), lambda l, i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),          # x0
+        pl.BlockSpec((bi, kb, 1), lambda l, i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),          # t
+        pl.BlockSpec((1, bi, S, d), lambda l, i: (l, i, 0, 0),
+                     memory_space=pltpu.VMEM),          # ck_all
+        pl.BlockSpec((1, bi, S, d), lambda l, i: (l, i, 0, 0),
+                     memory_space=pltpu.VMEM),          # cv_all
+        pl.BlockSpec((bi, 1, S), lambda l, i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),          # src_mask
+        pl.BlockSpec((bi, kb, 1, T, d), lambda l, i: (i, 0, l, 0, 0),
+                     memory_space=pltpu.VMEM),          # cache_k
+        pl.BlockSpec((bi, kb, 1, T, d), lambda l, i: (i, 0, l, 0, 0),
+                     memory_space=pltpu.VMEM),          # cache_v
+    ] + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in _WKEYS]
+    out_specs = (
+        pl.BlockSpec((B, kb, d), lambda l, i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),          # x carry / result
+        pl.BlockSpec((bi, kb, 1, T, d), lambda l, i: (i, 0, l, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bi, kb, 1, T, d), lambda l, i: (i, 0, l, 0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    out_shape = (jax.ShapeDtypeStruct((B, kb, d), x.dtype),
+                 jax.ShapeDtypeStruct((B, kb, L, T, d), cache_k.dtype),
+                 jax.ShapeDtypeStruct((B, kb, L, T, d), cache_v.dtype))
+
+    flops = L * R * (2 * (3 + 1 + 1 + 1) * d * d + 4 * d * dff
+                     + 4 * T * d + 4 * S * d)
+    wbytes = sum(int(np.prod(wstack[k].shape)) for k in _WKEYS)
+    xn, kn, vn = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases={5: 1, 6: 2},  # caches update in place
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        scratch_shapes=[pltpu.VMEM(wstack[k].shape[1:], wstack[k].dtype)
+                        for k in _WKEYS]
+        + [pltpu.SemaphoreType.DMA((len(_WKEYS),))],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(L * 2 * B * S * d + L * 2 * R * T * d * 2
+                            + wbytes) * x.dtype.itemsize,
+            transcendentals=L * R * (T + S)),
+    )(x.reshape(B, kb, d), t.reshape(B, kb, 1).astype(jnp.int32),
+      ck_all, cv_all, src_mask.astype(jnp.float32)[:, None, :],
+      cache_k.reshape(B, kb, L, T, d), cache_v.reshape(B, kb, L, T, d),
+      *[wstack[k] for k in _WKEYS])
+    return (xn.reshape(R, d), kn.reshape(R, L, T, d),
+            vn.reshape(R, L, T, d))
 
 
 def _pick_bi(b: int, kb: int, S: int, d: int, T: int, dff: int,
