@@ -140,7 +140,7 @@ def main():
     }
 
     def train_tput(rl: bool, n_steps: int) -> float:
-        step = tr._build_step(rl=rl)
+        step = tr._build_step(rl=rl, ss_enabled=False)  # schedule-at-0 point
 
         @jax.jit
         def loop(p, opt, batch, rng0):

@@ -230,3 +230,29 @@ def test_adaatt_beam_shared_memory_matches_expanded(monkeypatch):
                                   np.asarray(res_exp.seq))
     np.testing.assert_allclose(np.asarray(res_shared.scores),
                                np.asarray(res_exp.scores), atol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["fc", "show_tell", "all_img", "denseatt",
+                                  "topdown", "adaatt"])
+def test_split_head_forward_matches_step_scan(rng, name):
+    """forward()'s hoisted-head path (head computed once over the stacked
+    [T, B, H] hiddens when scheduled sampling is statically off — the
+    training-step HBM-floor fix, BASELINE.md) must match the in-scan
+    step() path that ss_enabled=True uses, at eval AND at training with
+    drop_prob 0 (the statically-ss-off XE operating point)."""
+    cfg = tiny_cfg(name if name != "all_img" else "all_img")
+    model = models.setup(cfg)
+    assert model.has_split_head
+    params = model.init_params(rng)
+    feats = make_feats(rng)
+    seq = make_seq(jax.random.fold_in(rng, 1))
+    model0 = dataclasses.replace(model, drop_prob_lm=0.0)
+    for training in (False, True):
+        r = jax.random.fold_in(rng, 2)
+        out_split = model0.forward(params, feats, seq, training=training,
+                                   rng=r, ss_enabled=False)
+        out_scan = model0.forward(params, feats, seq, training=training,
+                                  rng=r, ss_enabled=True)
+        np.testing.assert_allclose(np.asarray(out_split),
+                                   np.asarray(out_scan), rtol=1e-5,
+                                   atol=1e-5)

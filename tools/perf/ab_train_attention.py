@@ -38,7 +38,7 @@ batch = {
 }
 
 n_steps = 30
-step = tr._build_step(rl=False)
+step = tr._build_step(rl=False, ss_enabled=False)
 
 
 @jax.jit

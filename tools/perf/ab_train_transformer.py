@@ -38,7 +38,7 @@ batch = {
     "gts_masks": jnp.ones((B, 5), jnp.float32),
 }
 n_steps = 20
-step = tr._build_step(rl=False)
+step = tr._build_step(rl=False, ss_enabled=False)
 
 @jax.jit
 def loop(p, opt, batch, rng0):

@@ -71,7 +71,10 @@ def measure(model_name, batch, n_steps=30):
     import jax.numpy as jnp
 
     tr, batch_d = build(model_name, batch)
-    step = tr._build_step(rl=False)
+    # ss_enabled=False = the schedule-at-0 operating point (the reference
+    # starts every phase there): forward hoists the logit head out of the
+    # scan (models/base.py split-head path)
+    step = tr._build_step(rl=False, ss_enabled=False)
 
     @jax.jit
     def loop(p, opt, batch, rng0):

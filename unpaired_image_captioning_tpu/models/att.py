@@ -362,13 +362,31 @@ class AttModel(CaptionDecoder):
     def step(self, params, ctx, state, it, *, training: bool = False,
              rng: Optional[jax.Array] = None):
         r = _rngs(rng, 3)
+        h, state = self._step_core_r(params, ctx, state, it, r, training)
+        logits = self._logit(params, h, training, r[2])
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), state
+
+    def _step_core_r(self, params, ctx, state, it, r, training):
         xt = params["embed"][it]
         if not self.embed_plain:
             xt = dropout(r[0], jax.nn.relu(xt), self.drop_prob_lm, training)
-        out, state = self.core_step(params["core"], xt, ctx, state,
-                                    training=training, rng=r[1])
-        logits = self._logit(params, out, training, r[2])
-        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), state
+        return self.core_step(params["core"], xt, ctx, state,
+                              training=training, rng=r[1])
+
+    # split-head interface (base.py): head hoists out of forward's scan
+    @property
+    def has_split_head(self) -> bool:
+        return True
+
+    def step_core(self, params, ctx, state, it, *, training: bool = False,
+                  rng: Optional[jax.Array] = None):
+        return self._step_core_r(params, ctx, state, it, _rngs(rng, 3),
+                                 training)
+
+    def head(self, params, h, *, training: bool = False,
+             rng: Optional[jax.Array] = None):
+        logits = self._logit(params, h, training, rng)
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
     # ---- to implement per family ----
     def core_init(self, rng):

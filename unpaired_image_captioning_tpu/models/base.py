@@ -97,6 +97,29 @@ class CaptionDecoder:
              rng: Optional[jax.Array] = None):
         raise NotImplementedError
 
+    # ---- optional split-head interface -------------------------------------
+    # step == head(step_core) for most families: step_core runs the recurrent
+    # cell up to the pre-logit hidden vector; head is pointwise in time
+    # (logit projection + log_softmax). Families that implement both (and set
+    # has_split_head) let forward() hoist the head OUT of the timestep scan:
+    # one [T*B, H] x [H, V+1] matmul reads the 9.7 MB generator weight once
+    # per step instead of once per scan iteration fwd AND bwd — the xplane
+    # floor analysis (BASELINE.md) showed those per-iteration weight streams
+    # dominate the training step's backward scan at batch 50.
+    @property
+    def has_split_head(self) -> bool:
+        return False
+
+    def step_core(self, params, ctx, state, it, *, training: bool = False,
+                  rng: Optional[jax.Array] = None):
+        """Returns (h [B, H] pre-head hidden, new state)."""
+        raise NotImplementedError
+
+    def head(self, params, h, *, training: bool = False,
+             rng: Optional[jax.Array] = None):
+        """Pointwise-in-time completion: h [..., H] -> logprobs [..., V+1]."""
+        raise NotImplementedError
+
     @property
     def beam_ctx_no_expand(self) -> tuple:
         """ctx keys beam search leaves unexpanded ([B, ...] shared across
@@ -116,7 +139,7 @@ class CaptionDecoder:
 
     def forward(self, params, feats: Features, seq, *, training: bool = False,
                 rng: Optional[jax.Array] = None, ss_prob: float = 0.0,
-                aux_out: Optional[dict] = None):
+                ss_enabled: bool = True, aux_out: Optional[dict] = None):
         """Teacher-forcing forward as one scan.
 
         seq: [B, L] caption labels incl. leading BOS(0) column. Returns
@@ -146,7 +169,29 @@ class CaptionDecoder:
 
         # ss_prob may be a traced scalar (host-scheduled, SURVEY.md §7.3);
         # the coin flip handles ss_prob == 0 exactly, so gate on `training`.
-        use_ss = training
+        # ss_enabled is the STATIC switch (trainer flips it when the ramp
+        # leaves 0 — at most one retrace): with it off, scheduled sampling's
+        # logits->next-input dependency disappears and the head can hoist.
+        use_ss = training and ss_enabled
+
+        if self.has_split_head and not use_ss:
+            # Head hoisted out of the scan: the scan carries only the
+            # recurrent cell; the logit projection + log_softmax run once
+            # over the stacked [T, B, H] hiddens, so generator weights are
+            # read (and their grads accumulated) once per training step
+            # instead of once per timestep.
+            def core_body(state, inp):
+                tok, step_rng = inp
+                h, state = self.step_core(params, ctx, state, tok,
+                                          training=training, rng=step_rng)
+                return state, h
+
+            n = seq.shape[1] - 1
+            rngs = jax.random.split(dec_rng, n + 1)
+            _, hs = jax.lax.scan(core_body, state0,
+                                 (seq[:, :-1].T, rngs[:n]))
+            out = self.head(params, hs, training=training, rng=rngs[n])
+            return jnp.transpose(out, (1, 0, 2))  # [B, L-1, V+1]
 
         def body(carry, inp):
             state, prev_logprobs = carry

@@ -54,8 +54,21 @@ class FCModel(CaptionDecoder):
 
     def step(self, params, ctx, state, it, *, training: bool = False,
              rng: Optional[jax.Array] = None):
+        h, state = self.step_core(params, ctx, state, it, training=training,
+                                  rng=rng)
+        return self.head(params, h), state
+
+    @property
+    def has_split_head(self) -> bool:
+        return True
+
+    def step_core(self, params, ctx, state, it, *, training: bool = False,
+                  rng: Optional[jax.Array] = None):
         del ctx
         xt = params["embed"][it]
-        out, state = self._core(params, xt, state, training=training, rng=rng)
-        logits = linear(params["logit"], out)
-        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), state
+        return self._core(params, xt, state, training=training, rng=rng)
+
+    def head(self, params, h, *, training: bool = False,
+             rng: Optional[jax.Array] = None):
+        logits = linear(params["logit"], h)
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

@@ -50,11 +50,24 @@ class ShowTellModel(CaptionDecoder):
 
     def step(self, params, ctx, state, it, *, training: bool = False,
              rng: Optional[jax.Array] = None):
+        h, state = self.step_core(params, ctx, state, it, training=training,
+                                  rng=rng)
+        return self.head(params, h), state
+
+    @property
+    def has_split_head(self) -> bool:
+        return True
+
+    def step_core(self, params, ctx, state, it, *, training: bool = False,
+                  rng: Optional[jax.Array] = None):
         del ctx
         xt = params["embed"][it]
-        out, state = self._core(params, xt, state, training=training, rng=rng)
-        logits = linear(params["logit"], out)
-        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), state
+        return self._core(params, xt, state, training=training, rng=rng)
+
+    def head(self, params, h, *, training: bool = False,
+             rng: Optional[jax.Array] = None):
+        logits = linear(params["logit"], h)
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,12 +102,25 @@ class AllImgModel(CaptionDecoder):
 
     def step(self, params, ctx, state, it, *, training: bool = False,
              rng: Optional[jax.Array] = None):
+        h, state = self.step_core(params, ctx, state, it, training=training,
+                                  rng=rng)
+        return self.head(params, h), state
+
+    @property
+    def has_split_head(self) -> bool:
+        return True
+
+    def step_core(self, params, ctx, state, it, *, training: bool = False,
+                  rng: Optional[jax.Array] = None):
         xt = jnp.concatenate([params["embed"][it], ctx["fc"]], axis=-1)
         h, c = state
         top, hs, cs = rnn.stacked_lstm_step(
             params["core"], xt, jnp.moveaxis(h, 1, 0), jnp.moveaxis(c, 1, 0),
             dropout_rng=rng if training else None, dropout=self.drop_prob_lm)
         out = dropout(rng, top, self.drop_prob_lm, training)
-        logits = linear(params["logit"], out)
-        state = (jnp.moveaxis(hs, 0, 1), jnp.moveaxis(cs, 0, 1))
-        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), state
+        return out, (jnp.moveaxis(hs, 0, 1), jnp.moveaxis(cs, 0, 1))
+
+    def head(self, params, h, *, training: bool = False,
+             rng: Optional[jax.Array] = None):
+        logits = linear(params["logit"], h)
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

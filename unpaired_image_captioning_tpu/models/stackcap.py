@@ -96,7 +96,7 @@ class StackCapModel(AttModel):
 
     def forward(self, params, feats: Features, seq, *, training: bool = False,
                 rng: Optional[jax.Array] = None, ss_prob: float = 0.0,
-                aux_out=None):
+                ss_enabled: bool = True, aux_out=None):
         """3-headed teacher forcing: returns a list of three [B, L-1, V+1]
         logprob tensors (coarse, fine, final) for the summed loss."""
         batch = seq.shape[0]

@@ -284,7 +284,7 @@ class TransformerModel(CaptionDecoder):
     # ---- parallel teacher forcing ----
     def forward(self, params, feats: Features, seq, *, training: bool = False,
                 rng: Optional[jax.Array] = None, ss_prob: float = 0.0,
-                aux_out=None):
+                ss_enabled: bool = True, aux_out=None):
         """Full parallel decode with causal+pad mask. ss_prob is accepted for
         interface parity but ignored (the reference transformer path never
         uses scheduled sampling either)."""

@@ -68,6 +68,7 @@ class Trainer:
         self.joint_vocab_y = joint_vocab_y  # (coco_rows, nmt_tgt_rows) or None
         self.ckpt = CheckpointManager(cfg.checkpoint_path)
         self._xe_step = None
+        self._xe_step_ss = None  # retrace when the ss ramp leaves 0
         self._rl_step = None
 
         self.iteration = 0
@@ -98,7 +99,8 @@ class Trainer:
             lambda x: x.astype(jnp.bfloat16)
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
 
-    def _loss_terms(self, i2t_p, nmt_p, batch, ss_prob, rng, *, rl: bool):
+    def _loss_terms(self, i2t_p, nmt_p, batch, ss_prob, rng, *, rl: bool,
+                    ss_enabled: bool = True):
         cfg = self.cfg
         i2t_p = self._cast_compute(i2t_p)
         nmt_p = self._cast_compute(nmt_p)
@@ -156,7 +158,9 @@ class Trainer:
             else:
                 out = self.i2t_model.forward(i2t_p, feats, batch["labels"],
                                              training=True, rng=rng,
-                                             ss_prob=ss_prob, aux_out=bn_aux)
+                                             ss_prob=ss_prob,
+                                             ss_enabled=ss_enabled,
+                                             aux_out=bn_aux)
                 i2t_l = language_model_loss(out, batch["labels"][:, 1:],
                                             batch["masks"][:, 1:])
             metrics["i2t_loss"] = i2t_l
@@ -214,7 +218,7 @@ class Trainer:
             metrics["_bn_aux"] = bn_aux  # popped by the step before return
         return total, metrics
 
-    def _build_step(self, rl: bool):
+    def _build_step(self, rl: bool, ss_enabled: bool = True):
         cfg = self.cfg
         train_i2t = self.i2t_model is not None and cfg.i2t_train_flag
         train_nmt = self.nmt_model is not None and cfg.nmt_train_flag
@@ -222,7 +226,8 @@ class Trainer:
         def step(i2t_p, nmt_p, i2t_opt, nmt_opt, batch, lr_i2t, lr_nmt,
                  ss_prob, rng):
             def loss_fn(ps):
-                return self._loss_terms(ps[0], ps[1], batch, ss_prob, rng, rl=rl)
+                return self._loss_terms(ps[0], ps[1], batch, ss_prob, rng,
+                                        rl=rl, ss_enabled=ss_enabled)
 
             (_, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)((i2t_p, nmt_p))
@@ -251,9 +256,19 @@ class Trainer:
                 self._rl_step = self._build_step(rl=True)
             step = self._rl_step
         else:
-            if self._xe_step is None:
-                self._xe_step = self._build_step(rl=False)
-            step = self._xe_step
+            # ss_enabled is a STATIC trace switch: with the schedule at 0
+            # the forward hoists the logit head out of the timestep scan
+            # (base.py split-head path) — one retrace when the ramp starts.
+            if float(self.optim.ss_prob(self.epoch)) > 0.0:
+                if self._xe_step_ss is None:
+                    self._xe_step_ss = self._build_step(rl=False,
+                                                        ss_enabled=True)
+                step = self._xe_step_ss
+            else:
+                if self._xe_step is None:
+                    self._xe_step = self._build_step(rl=False,
+                                                     ss_enabled=False)
+                step = self._xe_step
 
         def to_device(k, v):
             # halve H2D bytes for the big float feature tensors by casting
