@@ -8,6 +8,8 @@ import numpy as np
 import pytest
 
 from unpaired_image_captioning_tpu.ops.topk import (_chunked_topk,
+                                                    _lane_topk_pallas,
+                                                    _lane_topk_raw,
                                                     _row_topk_pallas)
 
 
@@ -54,6 +56,110 @@ def test_row_topk_handles_neg_inf_rows(k):
     rv2, ri2 = jax.lax.top_k(jnp.asarray(y), k)
     np.testing.assert_array_equal(np.asarray(i2), np.asarray(ri2))
     np.testing.assert_array_equal(np.asarray(v2), np.asarray(rv2))
+
+
+@pytest.mark.parametrize("k", [9, 15, 16])
+@pytest.mark.parametrize("v", [2048, 3001])  # 128-multiple and ragged
+def test_lane_topk_matches_lax(k, v):
+    rng = np.random.RandomState(v * k)
+    x = jnp.asarray(rng.randn(24, v).astype(np.float32))
+    lv, li = _lane_topk_pallas(x, k=k, interpret=True)
+    rv, ri = jax.lax.top_k(x, k)
+    np.testing.assert_array_equal(np.asarray(lv), np.asarray(rv))
+    np.testing.assert_array_equal(np.asarray(li), np.asarray(ri))
+
+
+def test_lane_topk_hoarding_lane_triggers_fallback():
+    # >m of the global top-k share one strided lane class (ids ≡ 5 mod
+    # 128): the per-lane top-m candidate set is insufficient, the
+    # witness (best unseen element) beats the k-th winner, and the
+    # lax.cond fallback must produce the exact answer anyway
+    x = np.full((8, 2048), -10.0, np.float32)
+    for t, s in enumerate(range(0, 16)):       # 16 elements, all lane 5
+        x[:, s * 128 + 5] = 100.0 - t
+    x[:, 700] = 95.5                           # interleaved other lane
+    _, _, trig = _lane_topk_raw(jnp.asarray(x), k=15, interpret=True)
+    assert bool(jnp.all(trig[:, 0] > 0))       # genuine containment miss
+    lv, li = _lane_topk_pallas(jnp.asarray(x), k=15, interpret=True)
+    rv, ri = jax.lax.top_k(jnp.asarray(x), 15)
+    np.testing.assert_array_equal(np.asarray(lv), np.asarray(rv))
+    np.testing.assert_array_equal(np.asarray(li), np.asarray(ri))
+
+
+def test_lane_topk_witness_no_false_trigger_on_degenerate_rows():
+    # the fallback costs k full-width passes, so the witness must stay
+    # cold on the rows beam search actually produces: peaked rows with
+    # consecutive top ids (distinct lanes), dead-beam constant rows
+    # (-1e10), and all--inf rows (where a value-rewrite extraction would
+    # hand the witness an already-seen position and false-trigger)
+    x = np.full((16, 1664), -10.0, np.float32)
+    x[:4, 200:215] = np.linspace(5, 3, 15, dtype=np.float32)  # peaked
+    x[4:8, :] = -1e10                                         # dead beam
+    x[8:12, :] = -np.inf                                      # hard-masked
+    rng = np.random.RandomState(3)
+    x[12:, :] = rng.randn(4, 1664)                            # generic
+    _, _, trig = _lane_topk_raw(jnp.asarray(x), k=15, interpret=True)
+    np.testing.assert_array_equal(np.asarray(trig), 0)
+
+
+def test_lane_topk_exact_boundary_does_not_trigger():
+    # exactly m of the top-k in one lane is still contained — the
+    # witness (the lane's (m+1)-th element) loses to the k-th winner
+    # and must NOT fire; result exact without any fallback
+    x = np.full((8, 2048), -10.0, np.float32)
+    for t in range(4):                         # m=4 elements, all lane 9
+        x[:, t * 128 + 9] = 50.0 - t
+    x[:, 300:311] = 40.0                       # 11 more, other lanes
+    xj = jnp.asarray(x)
+    vals, idx, trig = _lane_topk_raw(xj, k=15, interpret=True)
+    np.testing.assert_array_equal(np.asarray(trig), 0)
+    rv, ri = jax.lax.top_k(xj, 15)
+    np.testing.assert_array_equal(np.asarray(vals), np.asarray(rv))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))
+
+
+def test_lane_topk_ties_and_degenerate_rows():
+    # cross-lane exact ties resolve to the lowest flat index; constant
+    # dead-beam rows (all -1e10) and all--inf rows walk ascending
+    # columns exactly like lax.top_k
+    x = np.full((8, 1664), -1.0, np.float32)
+    for col in (127, 128, 129, 700, 1500):
+        x[:4, col] = 7.0
+    x[:4, 40] = 9.0
+    x[4:6, :] = -1e10
+    x[6:, :] = -np.inf
+    x[7, 9] = 1.0
+    for k in (9, 15):
+        lv, li = _lane_topk_pallas(jnp.asarray(x), k=k, interpret=True)
+        rv, ri = jax.lax.top_k(jnp.asarray(x), k)
+        np.testing.assert_array_equal(np.asarray(lv), np.asarray(rv))
+        np.testing.assert_array_equal(np.asarray(li), np.asarray(ri))
+
+
+def test_lane_topk_random_adversarial_sweep():
+    # many rows x small value alphabet => dense exact ties everywhere,
+    # plus random -inf contamination; bit-identity must hold row-for-row
+    rng = np.random.RandomState(0)
+    x = rng.choice(np.asarray([-3.0, -1.0, 0.0, 2.0], np.float32),
+                   size=(32, 896)).astype(np.float32)
+    x[rng.rand(32, 896) < 0.05] = -np.inf
+    lv, li = _lane_topk_pallas(jnp.asarray(x), k=15, interpret=True)
+    rv, ri = jax.lax.top_k(jnp.asarray(x), 15)
+    np.testing.assert_array_equal(np.asarray(lv), np.asarray(rv))
+    np.testing.assert_array_equal(np.asarray(li), np.asarray(ri))
+
+
+def test_lane_topk_ragged_tail_block_does_not_false_trigger():
+    # rows % block_r != 0: the garbage tail block must not flip the
+    # fallback trigger (masked by in_bounds); result identical to lax
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(45, 896).astype(np.float32))
+    _, _, trig = _lane_topk_raw(x, k=9, block_r=16, interpret=True)
+    np.testing.assert_array_equal(np.asarray(trig), 0)
+    lv, li = _lane_topk_pallas(x, k=9, block_r=16, interpret=True)
+    rv, ri = jax.lax.top_k(x, 9)
+    np.testing.assert_array_equal(np.asarray(lv), np.asarray(rv))
+    np.testing.assert_array_equal(np.asarray(li), np.asarray(ri))
 
 
 @pytest.mark.parametrize("k", [9, 15])
