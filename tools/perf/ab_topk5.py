@@ -1,0 +1,82 @@
+"""A/B row top-k variants at the caption beam-5 selection shape [250, 9488].
+
+The beam-5 xplane trace shows _row_topk_pallas (iterative, k=5 full-width
+passes) at 67.2 us/step = 29% of the decode step. The lane kernel's tier
+count is m+1 (m extraction passes + witness), so m<k-1 trades passes for a
+fallback probability of P(>m of a row's top-k share one of 128 strided
+lanes):
+  m=4: 5 tiers (same as iterative), failure ~(1/128)^4 — never
+  m=3: 4 tiers, failure ~C(5,4)/128^3 = 2.4e-6/row (250 rows -> 6e-4/step)
+  m=2: 3 tiers, failure ~C(5,3)/128^2 = 6.1e-4/row (250 rows -> 14%/step,
+       each firing re-runs the iterative kernel under lax.cond)
+
+Timing: 400 chained invocations inside one jit (data-dependent chaining so
+XLA cannot hoist), min of 3, on N(0,1) rows (the fallback stays cold for
+m>=3; m=2's expected fallback cost shows up in its own row). Run:
+PYTHONPATH=/root/repo:/root/.axon_site python tools/perf/ab_topk5.py
+"""
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from unpaired_image_captioning_tpu.ops import topk as T
+
+R, V, K = 250, 9488, 5
+ITERS = 400
+
+
+def chain(fn):
+    @jax.jit
+    def run(x):
+        def body(c, _):
+            v, i = fn(c)
+            c2 = c.at[:, 0].add(v[:, K - 1] * 1e-9 + i[:, K - 1] * 1e-12)
+            return c2, v[0, 0]
+        c, vs = jax.lax.scan(body, x, None, length=ITERS)
+        return vs
+    return run
+
+
+def timeit(name, fn, x):
+    run = chain(fn)
+    np.asarray(run(x))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(run(x))
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name:14s} {best/ITERS*1e6:8.1f} us/call")
+    return best / ITERS
+
+
+def main():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(R, V).astype(np.float32))
+
+    # exactness probes vs lax.top_k (values AND indices incl. tie rows)
+    xt = np.tile(rng.randn(1, V).astype(np.float32), (4, 1))
+    xt[1, 100] = xt[1, 50]
+    xt[2, :] = 0.0
+    xt = jnp.asarray(np.concatenate([np.asarray(x)[:4], xt], 0))
+    rv, ri = jax.lax.top_k(xt, K)
+
+    for name, fn in [
+        ("iter", lambda a: T._row_topk_pallas(a, k=K)),
+        ("lane m=4", lambda a: T._lane_topk_pallas(a, k=K, m=4)),
+        ("lane m=3", lambda a: T._lane_topk_pallas(a, k=K, m=3)),
+        ("lane m=2", lambda a: T._lane_topk_pallas(a, k=K, m=2)),
+        ("xla", lambda a: jax.lax.top_k(a, K)),
+    ]:
+        try:
+            v, i = fn(xt)
+            ok = bool(jnp.all(v == rv)) and bool(jnp.all(i == ri))
+            timeit(f"{name}{'' if ok else ' (INEXACT)'}", fn, x)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:14s} FAILED: {type(e).__name__}: {e}")
+
+
+if __name__ == "__main__":
+    main()

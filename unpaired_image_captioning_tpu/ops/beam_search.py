@@ -345,11 +345,20 @@ def beam_search(
         sel_score, sel_idx = _flat_topk(total_flat, bd, bd)   # [B, bd]
         parent = sel_idx // V
         tok = (sel_idx % V).astype(jnp.int32)
-        tok_unaug = jnp.take_along_axis(
-            lp_flat.reshape(batch, bd * V), sel_idx, axis=1)
-        tok_aug = (tok_unaug if aug_flat is lp_flat else jnp.take_along_axis(
-            aug_flat.reshape(batch, bd * V), sel_idx, axis=1))
-        cum_g = jnp.take_along_axis(cum[:, 0], parent, axis=1) + tok_aug
+        # total = lp (+constraint) + cum (+beam_mask); a selected entry never
+        # carries the constraint's NEG_INF (V-1 unpenalized candidates per
+        # row always beat it) and its beam_mask term is exactly 0.0, so
+        # tok_unaug == tok_aug == sel_score - cum[parent] — an arithmetic
+        # identity that kills the [B, bd*V] relayout + gather the old
+        # take_along_axis path forced into the decode loop (xplane: 4.4 us
+        # reshape + 1.9 us gather + the second [B*K, V] f32 materialization
+        # per step at the bench shapes). Tokens and cum stay bit-identical
+        # (cum_g == sel_score, same single rounding); recorded per-token
+        # logps move by <= 1 ulp of cum and now telescope exactly to the
+        # final score.
+        cum_parent = jnp.take_along_axis(cum[:, 0], parent, axis=1)
+        tok_unaug = sel_score - cum_parent
+        cum_g = sel_score
 
         def reorder_write(buf_g, value):
             re = jnp.take_along_axis(buf_g, parent[..., None], axis=1)
@@ -493,8 +502,10 @@ def onmt_beam_search(
         sel_score, sel_idx = _flat_topk(total_flat, K, K)
         parent = sel_idx // V
         tok = (sel_idx % V).astype(jnp.int32)
-        tok_lp = jnp.take_along_axis(
-            lp_flat.reshape(batch, K * V), sel_idx, axis=1)
+        # total = lp + cum + row_mask with row_mask exactly 0.0 on any
+        # selectable entry, so tok_lp == sel_score - cum[parent] (see
+        # body_fast) — no [B, K*V] relayout/gather in the decode loop.
+        tok_lp = sel_score - jnp.take_along_axis(cum, parent, axis=1)
 
         def reorder_write(buf, value):
             re = jnp.take_along_axis(buf, parent[..., None], axis=1)
