@@ -69,6 +69,28 @@ def test_lane_topk_matches_lax(k, v):
     np.testing.assert_array_equal(np.asarray(li), np.asarray(ri))
 
 
+@pytest.mark.parametrize("k,m", [(5, 3), (6, 3), (5, 2)])
+@pytest.mark.parametrize("v", [1536, 2001])  # 128-multiple and ragged
+def test_lane_topk_small_k_reduced_m(k, m, v):
+    """row_topk routes k=5..6 to the lane kernel at m=3 (round-3 A/B,
+    tools/perf/ab_topk5.py); exactness must hold for any m incl. the
+    fallback firing more often at m < k-2."""
+    rng = np.random.RandomState(v * k + m)
+    x = jnp.asarray(rng.randn(24, v).astype(np.float32))
+    lv, li = _lane_topk_pallas(x, k=k, m=m, interpret=True)
+    rv, ri = jax.lax.top_k(x, k)
+    np.testing.assert_array_equal(np.asarray(lv), np.asarray(rv))
+    np.testing.assert_array_equal(np.asarray(li), np.asarray(ri))
+    # ties + -inf tails through the reduced-m path
+    y = np.full((8, v), -np.inf, np.float32)
+    y[:, 9] = 1.0
+    y[:, 137] = 1.0
+    lv2, li2 = _lane_topk_pallas(jnp.asarray(y), k=k, m=m, interpret=True)
+    rv2, ri2 = jax.lax.top_k(jnp.asarray(y), k)
+    np.testing.assert_array_equal(np.asarray(lv2), np.asarray(rv2))
+    np.testing.assert_array_equal(np.asarray(li2), np.asarray(ri2))
+
+
 def test_lane_topk_hoarding_lane_triggers_fallback():
     # >m of the global top-k share one strided lane class (ids ≡ 5 mod
     # 128): the per-lane top-m candidate set is insufficient, the

@@ -28,7 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # iterative masked-argmax is O(k) full passes over the row block — it
-# wins every small-k beam shape, but at NMT beam-15 ([750,8571] k=15)
+# wins at k<=4, but at NMT beam-15 ([750,8571] k=15)
 # the 15 full-width VPU passes are 81% of the translate's device time
 # (xplane, round 3). Alternatives A/B'd at that shape (us/call, v5e,
 # tools/perf/ab_topk15.py): iterative 618, chunked-two-stage 621 (the
@@ -53,9 +53,30 @@ from jax.experimental.pallas import tpu as pltpu
 # block-divisibility forces >=8*K rows per block, which blows the 16MB
 # scoped-VMEM limit (18.34M at K=15, V=8571), and the merge it removes
 # measures ~12 us. The chunked reduction is kept for very large k.
-MAX_ITERATIVE_K = 8
+# Round-3 follow-up at the caption beam-5 shape ([250,9488] k=5,
+# tools/perf/ab_topk5.py, chained-invocation us/call): iterative 143.5,
+# lane m=4 129.4, m=3 115.9, m=2 101.7-but-14%-fallback-rate — so k=5..6
+# route to the lane kernel at m=3 and only k<=4 stays iterative.
+MAX_ITERATIVE_K = 2
 MAX_LANE_K = 16
 LANE_M = 4
+
+
+def _lane_m_for(k: int) -> int:
+    """Smallest extraction depth whose containment-failure odds stay
+    negligible (per-row failure = P(>m of the top-k share one of 128
+    lanes) ~ C(k, m+1)/128^m on hash-spread ids): k=3 tolerates m=2
+    (6.1e-5/row), m=3 keeps k<=6 under ~1e-5/row, k>=7 needs m=4.
+    Fewer tiers = fewer passes (tiers = m+1 incl. witness vs k for the
+    iterative kernel), and a lane tier measures ~2x cheaper than an
+    iterative full-row pass in-loop (the [BR, S, LANES] sublane-axis
+    reduce vectorizes better than row-wide max+argmin): beam-5
+    selection 67.2 -> 32.7 us/step on v5e. m=2 at k=5 would fire the
+    iterative fallback on ~14% of [250-row] calls — a wash
+    (tools/perf/ab_topk5.py)."""
+    if k <= 3:
+        return 2
+    return 3 if k <= 6 else LANE_M
 LANES = 128
 CHUNK = 128
 
@@ -293,8 +314,9 @@ def row_topk(x, k: int):
             return _row_topk_pallas(x, k=k)
         # lane kernel needs every lane to hold > m REAL elements so the
         # -inf column padding can never surface as a candidate index
-        if k <= MAX_LANE_K and x.shape[-1] > (LANE_M + 1) * LANES:
-            return _lane_topk_pallas(x, k=k)
+        m = _lane_m_for(k)
+        if k <= MAX_LANE_K and x.shape[-1] > (m + 1) * LANES:
+            return _lane_topk_pallas(x, k=k, m=m)
         if k * CHUNK * 2 <= x.shape[-1] and k <= 64:
             return _chunked_topk(x, k)
     return jax.lax.top_k(x, k)
