@@ -316,6 +316,25 @@ class AttModel(CaptionDecoder):
             x = dropout(sub, jax.nn.relu(linear(p, x)), 0.5, training)
         return linear(layers[-1], x)
 
+    def decode_ctx(self, ctx):
+        # Decode-loop hoist (sample/sample_beam only): attention_apply
+        # computes the additive score in f32, and a bf16 p_att forces a
+        # [B, N, A] f32 convert INSIDE the decode while_loop every step
+        # (xplane: 5.2 us/step at the bench shapes — the convert feeds both
+        # of the family's attention fusions, so XLA materializes it rather
+        # than fusing). Casting once here is exact (bf16→f32) and free
+        # outside the loop. A per-call optimization_barrier variant to coax
+        # two inline converts instead was A/B'd and LOST (beam-3 while 40.6
+        # vs 39.0 ms/20, beam-5 75.2 vs 73.5). NOT applied in forward():
+        # the teacher-forcing scan (incl. the SCST logprob recompute, which
+        # runs training=False yet differentiates) is HBM-streaming-bound
+        # and re-reads p_att every timestep, where bf16 halves the traffic
+        # and remat'd XLA fuses the convert inline (BASELINE.md train
+        # floor; hoisting there measured as an SCST regression).
+        if "p_att" in ctx and ctx["p_att"].dtype == jnp.bfloat16:
+            return {**ctx, "p_att": ctx["p_att"].astype(jnp.float32)}
+        return ctx
+
     @property
     def beam_ctx_no_expand(self) -> tuple:
         # Beams of one image SHARE the attention memory (read once per
@@ -353,21 +372,6 @@ class AttModel(CaptionDecoder):
                                       mask=feats.att_masks, aux_out=aux_out,
                                       key="bn1")
         p_att = linear(params["ctx2att"], att_emb)
-        if not training:
-            # Decode-path hoist: attention_apply computes the additive score
-            # in f32, and a bf16 p_att forces a [B, N, A] f32 convert INSIDE
-            # the decode loop every step (xplane: 5.2 us/step at the bench
-            # shapes — the convert feeds both of the family's attention
-            # fusions, so XLA materializes it rather than fusing). Storing
-            # the f32 copy in ctx does the convert once per batch; values
-            # are identical (bf16→f32 is exact). A per-call
-            # optimization_barrier on the bf16 memory was A/B'd to coax two
-            # inline converts instead and LOST (beam-3 while 40.6 vs 39.0
-            # ms, beam-5 75.2 vs 73.5 — XLA re-materialized the convert in
-            # the loop). Training keeps bf16: the teacher-forcing scan is
-            # HBM-streaming-bound and re-reads p_att every timestep, where
-            # bf16 halves the traffic (BASELINE.md train floor).
-            p_att = p_att.astype(jnp.float32)
         ctx = {"fc": fc_emb, "att": att_emb, "p_att": p_att,
                "masks": feats.att_masks}
         L = self.eff_num_layers

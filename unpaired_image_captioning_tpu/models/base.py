@@ -97,6 +97,13 @@ class CaptionDecoder:
              rng: Optional[jax.Array] = None):
         raise NotImplementedError
 
+    def decode_ctx(self, ctx):
+        """Hook: one-time ctx transforms worth hoisting out of a DECODE
+        while_loop (sample/sample_beam) but wrong for the teacher-forcing
+        scan — e.g. the att family's f32 attention-memory cast (see
+        AttModel.decode_ctx). Default: identity."""
+        return ctx
+
     # ---- optional split-head interface -------------------------------------
     # step == head(step_core) for most families: step_core runs the recurrent
     # cell up to the pre-logit hidden vector; head is pointwise in time
@@ -227,6 +234,7 @@ class CaptionDecoder:
 
         ctx_rng, samp_rng = jax.random.split(rng)
         ctx, state0 = self.make_decoder(params, feats, training=False)
+        ctx = self.decode_ctx(ctx)
 
         def step_fn(p, state, it):
             return self.step(p, ctx, state, it, training=False)
@@ -243,6 +251,7 @@ class CaptionDecoder:
         from ..ops.beam_search import beam_search
 
         ctx, state0 = self.make_decoder(params, feats, training=False)
+        ctx = self.decode_ctx(ctx)
 
         def step_fn(p, c, state, it):
             return self.step(p, c, state, it, training=False)

@@ -63,6 +63,7 @@ class AttEnsemble:
         from ..ops.sampling import sample as _sample
 
         ctxs, states = self.make_decoder(params_list, feats)
+        ctxs = tuple(m.decode_ctx(c) for m, c in zip(self.models, ctxs))
 
         def step_fn(p, state, it):
             return self.step(p, ctxs, state, it)
@@ -76,6 +77,7 @@ class AttEnsemble:
         from ..ops.beam_search import beam_search
 
         ctxs, states = self.make_decoder(params_list, feats)
+        ctxs = tuple(m.decode_ctx(c) for m, c in zip(self.models, ctxs))
 
         def step_fn(p, c, state, it):
             return self.step(p, c, state, it)
