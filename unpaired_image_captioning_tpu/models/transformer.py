@@ -86,10 +86,33 @@ def _split_heads(x, n_heads):
 # also a memory knob for long-sequence configs.
 REMAT_ATTENTION = False
 
+# Fused training attention (ops/mha_train.py): QK^T/scale/mask/softmax/
+# dropout/AV as ONE Pallas program per (batch, head-pair) block with a
+# custom VJP that regenerates the dropout mask from its seed instead of
+# saving [B, h, T, S] residuals. Motivation + A/B: BASELINE.md transformer
+# training floor (the xplane showed ~1/3 of the 36 ms XE step in 5-7x-over-
+# floor softmax/mask/dropout chains over [50, 8, 196, 196] f32).
+TRAIN_MHA_KERNEL = True
+
 
 def mha_apply(p, q_in, k, v, mask, n_heads: int, *, training=False, rng=None):
     """k, v: already-projected [B, S, d]. mask: [B, 1|T, S] bool/0-1 or None."""
     d = q_in.shape[-1]
+    if (TRAIN_MHA_KERNEL and training and rng is not None
+            and not REMAT_ATTENTION and jax.default_backend() == "tpu"):
+        from ..ops.mha_train import fused_mha_train, mha_kernel_ok
+
+        if mha_kernel_ok(n_heads, d, q_in.shape[1], k.shape[1]):
+            if mask is not None:
+                maskadd = jnp.where(mask, 0.0, -1e9).astype(jnp.float32)
+            else:
+                maskadd = jnp.zeros((q_in.shape[0], 1, k.shape[1]),
+                                    jnp.float32)
+            seed = jax.random.randint(rng, (1,), 0, 2 ** 31 - 1,
+                                      dtype=jnp.int32)
+            out = fused_mha_train(linear(p["q"], q_in), k, v, maskadd,
+                                  seed, n_heads, DROPOUT)
+            return linear(p["o"], out)
 
     def core(pq, po, q_in_, k_, v_, mask_, rng_):
         q = _split_heads(linear(pq, q_in_), n_heads)
