@@ -12,7 +12,7 @@ workers — against the measured device step rate (BASELINE.md: XE 117.1k
 tokens/s at 850 predicted tokens/batch ~= 138 steps/s) so BASELINE.md can
 carry an "input pipeline X vs step Y" line.
 
-Run: PYTHONPATH=/root/repo python tools/perf/prof_input.py [--n_images 300]
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/perf/prof_input.py [--n_images 300]
 (CPU-only; no TPU needed. NOTE this dev box has 1 core — worker scaling
 numbers here are a lower bound; the reference's own BlobFetcher would be
 equally starved.)

@@ -154,9 +154,12 @@ def main(argv=None):
     tgt_bpe = _maybe_bpe(args.train_tgt, args.tgt_bpe_merges,
                          args.tgt_bpe_codes, args.save_data + ".tgt_bpe.codes")
 
-    def dict_corpus(path, bpe):
-        """Dict built over the BPE-segmented stream when BPE is active."""
-        if bpe is None:
+    def dict_corpus(path, bpe, vocab_file):
+        """Dict built over the BPE-segmented stream when BPE is active.
+        Skipped entirely when an existing vocab file is supplied —
+        build_dict loads it without reading the corpus, so segmenting the
+        full training set here would be pure wasted I/O."""
+        if bpe is None or vocab_file:
             return path
         seg_path = args.save_data + ".tmp_seg.txt"
         with open(path, encoding="utf-8") as f, \
@@ -165,9 +168,9 @@ def main(argv=None):
                 out.write(bpe.segment(line) + "\n")
         return seg_path
 
-    src_dict = build_dict(dict_corpus(args.train_src, src_bpe),
+    src_dict = build_dict(dict_corpus(args.train_src, src_bpe, args.src_vocab),
                           args.src_vocab_size, args.lower, args.src_vocab)
-    tgt_dict = build_dict(dict_corpus(args.train_tgt, tgt_bpe),
+    tgt_dict = build_dict(dict_corpus(args.train_tgt, tgt_bpe, args.tgt_vocab),
                           args.tgt_vocab_size, args.lower, args.tgt_vocab)
     tmp_seg = args.save_data + ".tmp_seg.txt"
     if os.path.exists(tmp_seg):

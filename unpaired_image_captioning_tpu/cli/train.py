@@ -164,89 +164,95 @@ def main(argv=None):
 
     logger = MetricLogger(cfg.checkpoint_path)
     t_start = time.time()
-    while True:
-        sc_flag = (cfg.self_critical_after >= 0
-                   and trainer.epoch >= cfg.self_critical_after)
-        t0 = time.time()
-        data = next_train_batch()
-        read_t = time.time() - t0
-        t0 = time.time()
-        try:
-            metrics = trainer.train(data, sc_flag=sc_flag)
-        except Exception as e:
-            # emergency checkpoint so the run is resumable after a crash
-            # (SURVEY.md §5.3: the reference's only recovery is --start_from)
-            trainer.ckpt.save(infos={"iter": trainer.iteration,
-                                     "epoch": trainer.epoch,
-                                     "epoch_nmt": trainer.epoch_nmt,
-                                     "best_cider": trainer.best_cider,
-                                     "best_nmt_acc": trainer.best_nmt_acc,
-                                     "opt": cfg.to_dict(),
-                                     "loader_state": loader_state(),
-                                     "crash": repr(e)},
-                              i2t_params=trainer.i2t_params,
-                              nmt_params=trainer.nmt_params)
-            print(f"FATAL at iter {trainer.iteration}: {e!r} — emergency "
-                  f"checkpoint written to {cfg.checkpoint_path}")
-            raise
-        step_t = time.time() - t0
+    try:
+        while True:
+            sc_flag = (cfg.self_critical_after >= 0
+                       and trainer.epoch >= cfg.self_critical_after)
+            t0 = time.time()
+            data = next_train_batch()
+            read_t = time.time() - t0
+            t0 = time.time()
+            try:
+                metrics = trainer.train(data, sc_flag=sc_flag)
+            except Exception as e:
+                # emergency checkpoint so the run is resumable after a crash
+                # (SURVEY.md §5.3: the reference's only recovery is --start_from)
+                trainer.ckpt.save(infos={"iter": trainer.iteration,
+                                         "epoch": trainer.epoch,
+                                         "epoch_nmt": trainer.epoch_nmt,
+                                         "best_cider": trainer.best_cider,
+                                         "best_nmt_acc": trainer.best_nmt_acc,
+                                         "opt": cfg.to_dict(),
+                                         "loader_state": loader_state(),
+                                         "crash": repr(e)},
+                                  i2t_params=trainer.i2t_params,
+                                  nmt_params=trainer.nmt_params)
+                print(f"FATAL at iter {trainer.iteration}: {e!r} — emergency "
+                      f"checkpoint written to {cfg.checkpoint_path}")
+                raise
+            step_t = time.time() - t0
 
-        if data["bounds"]["wrapped"]:
-            trainer.epoch += 1
-        if data.get("nmt_wrapped"):
-            trainer.epoch_nmt += 1
+            if data["bounds"]["wrapped"]:
+                trainer.epoch += 1
+            if data.get("nmt_wrapped"):
+                trainer.epoch_nmt += 1
 
-        it = trainer.iteration
-        if it % cfg.losses_log_every == 0:
-            scalars = dict(metrics)
-            scalars.update({"read_time": read_t, "step_time": step_t,
-                            "epoch": trainer.epoch})
-            if "nmt_words" in metrics and step_t > 0:
-                # tokens/sec console stat (Statistics.output parity,
-                # criterion.py:77-95)
-                scalars["nmt_tok_per_s"] = metrics["nmt_words"] / step_t
-            logger.add_scalars(it, scalars)
-            histories["loss_history"][str(it)] = metrics.get("total_loss")
-            histories["lr_history"][str(it)] = metrics.get("lr_i2t")
-            histories["ss_prob_history"][str(it)] = metrics.get("ss_prob")
-            msg = " ".join(f"{k}={v:.4g}" for k, v in metrics.items())
-            print(f"iter {it} (epoch {trainer.epoch}) {msg} "
-                  f"read={read_t:.3f}s step={step_t:.3f}s")
+            it = trainer.iteration
+            if it % cfg.losses_log_every == 0:
+                scalars = dict(metrics)
+                scalars.update({"read_time": read_t, "step_time": step_t,
+                                "epoch": trainer.epoch})
+                if "nmt_words" in metrics and step_t > 0:
+                    # tokens/sec console stat (Statistics.output parity,
+                    # criterion.py:77-95)
+                    scalars["nmt_tok_per_s"] = metrics["nmt_words"] / step_t
+                logger.add_scalars(it, scalars)
+                histories["loss_history"][str(it)] = metrics.get("total_loss")
+                histories["lr_history"][str(it)] = metrics.get("lr_i2t")
+                histories["ss_prob_history"][str(it)] = metrics.get("ss_prob")
+                msg = " ".join(f"{k}={v:.4g}" for k, v in metrics.items())
+                print(f"iter {it} (epoch {trainer.epoch}) {msg} "
+                      f"read={read_t:.3f}s step={step_t:.3f}s")
 
-        if it % cfg.save_checkpoint_every == 0:
-            val = evaluate(trainer, loader, cfg, nmt_valid=nmt_valid)
-            histories["val_result_history"][str(it)] = {
-                k: v for k, v in val.items() if k != "predictions"}
-            logger.add_scalars(it, {"val_loss": val["loss"]})
-            if val.get("nmt_stats"):
-                logger.add_scalars(it, val["nmt_stats"])
-                # best-NMT-acc dual track (trainer.py:212-215)
-                acc = val["nmt_stats"]["valid_acc"]
-                if trainer.best_nmt_acc is None or acc > trainer.best_nmt_acc:
-                    trainer.best_nmt_acc = acc
-            score = (val.get("lang_stats") or {}).get("CIDEr", -val["loss"])
-            best = trainer.best_cider is None or score > trainer.best_cider
-            if best:
-                trainer.best_cider = score
-            trainer.save(loader_state=loader_state(),
-                         histories=histories)
-            if best:
+            if it % cfg.save_checkpoint_every == 0:
+                val = evaluate(trainer, loader, cfg, nmt_valid=nmt_valid)
+                histories["val_result_history"][str(it)] = {
+                    k: v for k, v in val.items() if k != "predictions"}
+                logger.add_scalars(it, {"val_loss": val["loss"]})
+                if val.get("nmt_stats"):
+                    logger.add_scalars(it, val["nmt_stats"])
+                    # best-NMT-acc dual track (trainer.py:212-215)
+                    acc = val["nmt_stats"]["valid_acc"]
+                    if trainer.best_nmt_acc is None or acc > trainer.best_nmt_acc:
+                        trainer.best_nmt_acc = acc
+                score = (val.get("lang_stats") or {}).get("CIDEr", -val["loss"])
+                best = trainer.best_cider is None or score > trainer.best_cider
+                if best:
+                    trainer.best_cider = score
                 trainer.save(loader_state=loader_state(),
-                             histories=histories, best=True)
-            print(f"checkpoint @ iter {it}: val_loss={val['loss']:.4f} "
-                  f"score={score:.4f} best={best}")
+                             histories=histories)
+                if best:
+                    trainer.save(loader_state=loader_state(),
+                                 histories=histories, best=True)
+                print(f"checkpoint @ iter {it}: val_loss={val['loss']:.4f} "
+                      f"score={score:.4f} best={best}")
 
-        if trainer.epoch >= cfg.max_epochs >= 0:
-            # final checkpoint so short runs are always resumable/evaluable
-            trainer.save(loader_state=loader_state(), histories=histories)
-            if trainer.best_cider is None:
-                trainer.save(loader_state=loader_state(),
-                             histories=histories, best=True)
-            print(f"done: {trainer.epoch} epochs, {it} iters, "
-                  f"{time.time() - t_start:.1f}s")
-            if prefetcher is not None:
-                prefetcher.close()
-            break
+            if trainer.epoch >= cfg.max_epochs >= 0:
+                # final checkpoint so short runs are always resumable/evaluable
+                trainer.save(loader_state=loader_state(), histories=histories)
+                if trainer.best_cider is None:
+                    trainer.save(loader_state=loader_state(),
+                                 histories=histories, best=True)
+                print(f"done: {trainer.epoch} epochs, {it} iters, "
+                      f"{time.time() - t_start:.1f}s")
+                break
+    finally:
+        # close on EVERY exit path (clean break, crash-checkpoint
+        # re-raise, KeyboardInterrupt): abandoned workers +
+        # planned-but-unconsumed shared-memory segments otherwise
+        # persist until interpreter teardown (round-3 review)
+        if prefetcher is not None:
+            prefetcher.close()
 
 
 def evaluate(trainer, loader, cfg, nmt_valid=None) -> dict:

@@ -235,6 +235,12 @@ class CaptionDataLoader:
     # plan stream — and therefore iterator-resume semantics — stays
     # single-threaded and bit-identical to the synchronous path.
 
+    def _rep(self, x):
+        # seq_per_img replication — ONE definition shared by plan_batch
+        # (labels/gts) and assemble_features (features) so the two halves
+        # of the split get_batch can never desynchronize
+        return np.repeat(x, self.seq_per_img, axis=0)
+
     def plan_batch(self, split: str, batch_size: Optional[int] = None) -> dict:
         """Everything but the feature IO: draws the image indices (shuffling
         on wrap), captions, gts, and the piggybacked NMT batch. Consumes
@@ -273,9 +279,7 @@ class CaptionDataLoader:
         masks[:, 0] = 1.0
         masks[:, 1:] = np.logical_or(nonzero[:, 1:], nonzero[:, :-1])
 
-        def rep(x):
-            return np.repeat(x, spi, axis=0)
-
+        rep = self._rep
         plan = {
             "ixs": ixs,
             "labels": labels,
@@ -324,11 +328,7 @@ class CaptionDataLoader:
             att_feats[i, :L] = att[:L]
             att_masks[i, :L] = 1.0
 
-        spi = self.seq_per_img
-
-        def rep(x):
-            return np.repeat(x, spi, axis=0)
-
+        rep = self._rep
         return {"fc_feats": rep(np.stack(fc_list).astype(self.feat_dtype,
                                                          copy=False)),
                 "att_feats": rep(att_feats),

@@ -161,10 +161,24 @@ class ProcessPrefetcher:
             else:
                 feats[k] = v[1]
         self._live_shm.append(shms)
+        # LIFETIME CONTRACT: feature arrays returned by get() are views into
+        # shared-memory segments that stay mapped for TWO further get()
+        # calls only (one in-flight batch + one margin) — a consumer must
+        # copy anything it keeps longer. If a view IS still exported when
+        # its segment is evicted, defer the eviction instead of crashing
+        # the training loop with BufferError; close() sweeps survivors.
         while len(self._live_shm) > 2:
-            for shm in self._live_shm.popleft():
-                shm.close()
-                shm.unlink()
+            shms = self._live_shm.popleft()
+            survivors = []
+            for shm in shms:
+                try:
+                    shm.close()
+                    shm.unlink()
+                except BufferError:
+                    survivors.append(shm)
+            if survivors:
+                self._live_shm.appendleft(survivors)
+                break
         return feats
 
     def _fill(self):
@@ -191,6 +205,9 @@ class ProcessPrefetcher:
         self._done[s] = feats
 
     def get(self) -> dict:
+        """Next batch. Feature arrays are ZERO-COPY views into shared
+        memory valid for two further get() calls — copy anything kept
+        longer (see the lifetime contract in _materialize)."""
         seq = self._next_get_seq
         self._next_get_seq += 1
         while seq not in self._done:
@@ -234,5 +251,13 @@ class ProcessPrefetcher:
         self._done.clear()
         while self._live_shm:
             for shm in self._live_shm.popleft():
-                shm.close()
-                shm.unlink()
+                try:
+                    shm.close()
+                    shm.unlink()
+                except BufferError:
+                    # a consumer still holds a view; unlink without close
+                    # so the segment dies with the last mapping
+                    try:
+                        shm.unlink()
+                    except Exception:
+                        pass

@@ -275,7 +275,7 @@ class TransformerModel(CaptionDecoder):
                aux_out=None):
         from .att import _batch_norm
 
-        r = _rngs(rng, 1 + 3 * self.num_layers)
+        r = _rngs(rng, 1 + 4 * self.num_layers)
         att = feats.att_feats
         if self.use_bn:
             att = _batch_norm(params["bn0"], att, training,
@@ -299,9 +299,14 @@ class TransformerModel(CaptionDecoder):
                                              rng=r[ri + 1]),
                             DROPOUT, training)
             y = layer_norm(lp["n2"], x)
-            x = x + dropout(r[ri + 2], ffn_apply(lp["ffn"], y, training=training),
+            # rng for ffn_apply's INTERNAL dropout (reference
+            # PositionwiseFeedForward w1->relu->dropout->w2) — it was
+            # silently dead while called with rng=None (round-3 review)
+            x = x + dropout(r[ri + 2],
+                            ffn_apply(lp["ffn"], y, training=training,
+                                      rng=r[ri + 3]),
                             DROPOUT, training)
-            ri += 3
+            ri += 4
         return layer_norm(params["enc_norm"], x), src_mask
 
     # ---- parallel teacher forcing ----
@@ -312,7 +317,7 @@ class TransformerModel(CaptionDecoder):
         interface parity but ignored (the reference transformer path never
         uses scheduled sampling either)."""
         del ss_prob
-        r = _rngs(rng, 2 + 5 * self.num_layers)
+        r = _rngs(rng, 2 + 6 * self.num_layers)
         memory, src_mask = self.encode(params, feats, training=training,
                                        rng=r[0], aux_out=aux_out)
         seq_in = seq[:, :-1]
@@ -341,9 +346,11 @@ class TransformerModel(CaptionDecoder):
                                                  self.num_heads, training=training,
                                                  rng=r[ri + 3]), DROPOUT, training)
             y = layer_norm(lp["n3"], x)
-            x = x + dropout(r[ri + 4], ffn_apply(lp["ffn"], y, training=training),
+            x = x + dropout(r[ri + 4],
+                            ffn_apply(lp["ffn"], y, training=training,
+                                      rng=r[ri + 5]),
                             DROPOUT, training)
-            ri += 5
+            ri += 6
         x = layer_norm(params["dec_norm"], x)
         logits = linear(params["generator"], x)
         return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

@@ -28,7 +28,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # iterative masked-argmax is O(k) full passes over the row block — it
-# wins at k<=4, but at NMT beam-15 ([750,8571] k=15)
+# wins at k<=2 (where the lane kernel's witness tier cannot save a
+# pass), but at NMT beam-15 ([750,8571] k=15)
 # the 15 full-width VPU passes are 81% of the translate's device time
 # (xplane, round 3). Alternatives A/B'd at that shape (us/call, v5e,
 # tools/perf/ab_topk15.py): iterative 618, chunked-two-stage 621 (the
@@ -55,8 +56,12 @@ from jax.experimental.pallas import tpu as pltpu
 # measures ~12 us. The chunked reduction is kept for very large k.
 # Round-3 follow-up at the caption beam-5 shape ([250,9488] k=5,
 # tools/perf/ab_topk5.py, chained-invocation us/call): iterative 143.5,
-# lane m=4 129.4, m=3 115.9, m=2 101.7-but-14%-fallback-rate — so k=5..6
-# route to the lane kernel at m=3 and only k<=4 stays iterative.
+# lane m=4 129.4, m=3 115.9, m=2 101.7-but-14%-fallback-rate. In-loop
+# (xplane, beam decode): k=5 lane m=3 32.7 us vs iterative 67.2; k=3
+# lane m=2 18.9 vs iterative 23.4 — a lane tier (sublane-axis reduce)
+# is ~2x cheaper than an iterative full-row pass, so everything k>=3
+# routes to the lane kernel (k=4 by the same tier economics, not a
+# direct measurement) and only k<=2 stays iterative.
 MAX_ITERATIVE_K = 2
 MAX_LANE_K = 16
 LANE_M = 4
