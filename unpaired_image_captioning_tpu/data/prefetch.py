@@ -146,6 +146,8 @@ class ProcessPrefetcher:
         # has uploaded the arrays to the device (trainer.train copies into
         # jnp on entry)
         self._live_shm = collections.deque()
+        self._deferred_evictions = 0
+        self._DEFER_WARN_AFTER = 8
         self._fill()
 
     def _materialize(self, out: dict) -> dict:
@@ -178,7 +180,21 @@ class ProcessPrefetcher:
                     survivors.append(shm)
             if survivors:
                 self._live_shm.appendleft(survivors)
+                # A consumer that keeps views alive indefinitely would grow
+                # _live_shm (and /dev/shm) without bound and silently — count
+                # consecutive deferrals and surface the contract violation.
+                self._deferred_evictions += 1
+                if self._deferred_evictions >= self._DEFER_WARN_AFTER:
+                    import warnings
+                    warnings.warn(
+                        f"ProcessPrefetcher: shm eviction deferred "
+                        f"{self._deferred_evictions} gets in a row "
+                        f"({len(self._live_shm)} segments live) — a consumer "
+                        f"is holding feature views past the two-get lifetime "
+                        f"contract; copy arrays you keep.",
+                        RuntimeWarning, stacklevel=3)
                 break
+            self._deferred_evictions = 0
         return feats
 
     def _fill(self):

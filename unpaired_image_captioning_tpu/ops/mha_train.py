@@ -69,7 +69,10 @@ def _softmax_from_scores(scores, maskadd, *, dh, dtype):
                   / math.sqrt(dh)).astype(jnp.float32)
     else:
         scores = scores / math.sqrt(dh)
-    scores = scores + maskadd                             # [1|T, S] bcast
+    # where-replace (not add) so masked positions are EXACTLY -1e9 like the
+    # XLA core path in models/transformer.mha_apply — identical formulation
+    # even for unbounded scores during a divergent run (advisor, round 3)
+    scores = jnp.where(maskadd < 0, jnp.float32(-1e9), scores)  # [1|T,S] bcast
     mx = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - mx)
     return e / jnp.sum(e, axis=-1, keepdims=True)

@@ -67,9 +67,13 @@ MAX_LANE_K = 16
 LANE_M = 4
 
 
+LANES = 128
+CHUNK = 128
+
+
 def _lane_m_for(k: int) -> int:
     """Smallest extraction depth whose containment-failure odds stay
-    negligible (per-row failure = P(>m of the top-k share one of 128
+    negligible (per-row failure = P(>m of the top-k share one of LANES
     lanes) ~ C(k, m+1)/128^m on hash-spread ids): k=3 tolerates m=2
     (6.1e-5/row), m=3 keeps k<=6 under ~1e-5/row, k>=7 needs m=4.
     Fewer tiers = fewer passes (tiers = m+1 incl. witness vs k for the
@@ -82,8 +86,6 @@ def _lane_m_for(k: int) -> int:
     if k <= 3:
         return 2
     return 3 if k <= 6 else LANE_M
-LANES = 128
-CHUNK = 128
 
 
 def _iterative_topk_body(x, vals_ref, idx_ref, *, k: int):

@@ -9,6 +9,16 @@ data-iterator positions (train.py:49-51, dataloader.py:371-377).
 
 Format: msgpack pytrees (flax.serialization) + JSON sidecars — a single
 train-state tree per model instead of the reference's pickled torch blobs.
+
+Mesh/multi-process awareness (TPU-native half of the resume story; the
+reference is single-host DataParallel and has no equivalent):
+- save: sharded `jax.Array` leaves are gathered to their full logical value
+  first — directly when every shard is process-local, via a DCN
+  `process_allgather` when not (multi-host) — and only process 0 writes.
+- restore: `load_pytree(..., shardings=)` places each leaf with
+  `jax.make_array_from_callback`, so a checkpoint saved under one mesh
+  restores onto ANY other mesh shape (including across process counts);
+  each process materializes only its addressable shards.
 """
 
 from __future__ import annotations
@@ -23,26 +33,80 @@ import numpy as np
 
 
 def _to_host(tree):
-    return jax.tree.map(lambda x: np.asarray(x) if hasattr(x, "shape") else x, tree)
+    def host(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            # multi-host: some shards live on other processes' devices, so a
+            # plain np.asarray would be wrong/undefined. All processes join
+            # a DCN all-gather; every process gets the full logical value.
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x) if hasattr(x, "shape") else x
+
+    return jax.tree.map(host, tree)
 
 
 def save_pytree(path: str, tree: Any) -> None:
     data = flax.serialization.to_bytes(_to_host(tree))
-    tmp = path + ".tmp"
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return  # every process gathered (collective above); one writes
+    tmp = path + f".tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)
 
 
-def load_pytree(path: str, template: Any) -> Any:
+class _DefaultPlacement:
+    """Sentinel leaf (a real pytree leaf, unlike None) marking 'place on the
+    default device' in a shardings tree."""
+
+    def __repr__(self):
+        return "<default placement>"
+
+
+DEFAULT_PLACEMENT = _DefaultPlacement()
+
+
+def tree_shardings(tree: Any):
+    """Per-leaf shardings pytree for `load_pytree(shardings=)`: the leaf's
+    own sharding for mesh-placed (NamedSharding) jax.Arrays,
+    DEFAULT_PLACEMENT else. Single-device leaves deliberately restore
+    UNCOMMITTED (plain jnp.asarray): committing them to their template's
+    device would pin e.g. a fresh optimizer state to device 0 and clash
+    with mesh-placed params inside the jitted step."""
+    def sh(x):
+        if isinstance(x, jax.Array) and isinstance(
+                x.sharding, jax.sharding.NamedSharding):
+            return x.sharding
+        return DEFAULT_PLACEMENT
+
+    return jax.tree.map(sh, tree)
+
+
+def load_pytree(path: str, template: Any, shardings: Any = None) -> Any:
     import jax.numpy as jnp
 
     with open(path, "rb") as f:
         restored = flax.serialization.from_bytes(template, f.read())
-    # msgpack restores numpy leaves; promote to device arrays so traced
-    # indexing (embedding lookups under scan) works
-    return jax.tree.map(
-        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, restored)
+
+    if shardings is None:
+        # msgpack restores numpy leaves; promote to device arrays so traced
+        # indexing (embedding lookups under scan) works
+        return jax.tree.map(
+            lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+            restored)
+
+    def place(x, s):
+        if not isinstance(x, (np.ndarray, jnp.ndarray)):
+            return x
+        if s is None or isinstance(s, _DefaultPlacement):
+            return jnp.asarray(x)
+        host = np.asarray(x)
+        # resharding path: works for any target mesh/spec, and in
+        # multi-process each process only materializes its local shards
+        return jax.make_array_from_callback(host.shape, s,
+                                            lambda idx: host[idx])
+
+    return jax.tree.map(place, restored, shardings)
 
 
 def save_json(path: str, obj: Any) -> None:
@@ -79,8 +143,10 @@ class CheckpointManager:
         if histories is not None:
             save_json(self._p("histories", best) + ".json", histories)
 
-    def load_params(self, name: str, template, best: bool = False):
-        return load_pytree(self._p(name, best) + ".msgpack", template)
+    def load_params(self, name: str, template, best: bool = False,
+                    shardings: Any = None):
+        return load_pytree(self._p(name, best) + ".msgpack", template,
+                           shardings=shardings)
 
     def load_infos(self, best: bool = False) -> dict:
         return load_json(self._p("infos", best) + ".json")

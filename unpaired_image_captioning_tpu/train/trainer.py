@@ -396,17 +396,25 @@ class Trainer:
                        **_dc.asdict(self.nmt_model)})
 
     def load(self, best: bool = False) -> dict:
+        """Restore. Mesh-aware: every restored leaf is re-placed with the
+        sharding of the CURRENT (template) leaf, so a checkpoint written
+        under one mesh restores onto whatever mesh this Trainer's params
+        were initialized/placed on — including a different shape or an
+        unmeshed single chip (checkpoint.load_pytree resharding path)."""
         infos = self.ckpt.load_infos(best=best)
-        from .checkpoint import check_resume_compat
+        from .checkpoint import check_resume_compat, tree_shardings
         check_resume_compat(infos.get("opt", {}), self.cfg)
         if self.i2t_params is not None:
-            self.i2t_params = self.ckpt.load_params("model_i2t",
-                                                    self.i2t_params, best=best)
+            self.i2t_params = self.ckpt.load_params(
+                "model_i2t", self.i2t_params, best=best,
+                shardings=tree_shardings(self.i2t_params))
         if self.nmt_params is not None:
-            self.nmt_params = self.ckpt.load_params("model_nmt",
-                                                    self.nmt_params, best=best)
-        optim_state = self.ckpt.load_params("optimizer",
-                                            self.optim.state_dict(), best=best)
+            self.nmt_params = self.ckpt.load_params(
+                "model_nmt", self.nmt_params, best=best,
+                shardings=tree_shardings(self.nmt_params))
+        state_tpl = self.optim.state_dict()
+        optim_state = self.ckpt.load_params("optimizer", state_tpl, best=best,
+                                            shardings=tree_shardings(state_tpl))
         self.optim.load_state_dict(optim_state)
         self.iteration = infos["iter"]
         self.epoch = infos["epoch"]
