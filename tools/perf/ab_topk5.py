@@ -13,9 +13,12 @@ lanes):
 Timing: 400 chained invocations inside one jit (data-dependent chaining so
 XLA cannot hoist), min of 3, on N(0,1) rows (the fallback stays cold for
 m>=3; m=2's expected fallback cost shows up in its own row). Run:
-PYTHONPATH=/root/repo:/root/.axon_site python tools/perf/ab_topk5.py
+PYTHONPATH=/root/repo:/root/.axon_site python tools/perf/ab_topk5.py [k]
+(k defaults to 5; k=4 closes the "routed on economics, not measurement"
+gap in ops/topk._lane_m_for's routing table)
 """
 
+import sys
 import time
 
 import numpy as np
@@ -24,7 +27,8 @@ import jax.numpy as jnp
 
 from unpaired_image_captioning_tpu.ops import topk as T
 
-R, V, K = 250, 9488, 5
+R, V = 250, 9488
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 5
 ITERS = 400
 
 

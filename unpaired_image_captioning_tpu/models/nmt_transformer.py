@@ -38,6 +38,25 @@ def _rngs(rng, n):
     return list(jax.random.split(rng, n))
 
 
+# Whole-stack fused decode kernel (ops/transformer_decode.decoder_stack_step)
+# for translate_batch: all L decoder layers in ONE Pallas program per beam
+# step, with the last layer's mean-head cross-attention weights as a kernel
+# output (the UNK→attn-argmax signal). This is the same megakernel that took
+# the caption transformer 2,348 → 4,557 caps/s; the NMT variant's cross
+# memory is even smaller (≤50-token sentences vs 196 att slots). The XLA
+# step path remains the fallback and the parity reference
+# (tests/test_nmt_transformer.py::test_translate_stack_kernel_token_identity).
+STACK_KERNEL = True
+_INTERPRET = False  # tests flip to run the kernel on CPU (interpret mode)
+
+
+def _use_stack_kernel(d_model: int, num_heads: int) -> bool:
+    dh = d_model // num_heads
+    shape_ok = d_model % num_heads == 0 and dh % 8 == 0
+    return (STACK_KERNEL and shape_ok
+            and (jax.default_backend() == "tpu" or _INTERPRET))
+
+
 @dataclasses.dataclass(frozen=True)
 class TransformerNMTModel:
     src_vocab_size: int
@@ -184,6 +203,9 @@ class TransformerNMTModel:
                  for lp in params["dec"]]
         b = src_ids.shape[0]
         ctx = {"cross": cross, "src_mask": src_mask, "memory": memory}
+        if _use_stack_kernel(d, self.num_heads):
+            return self._translate_batch_kernel(
+                params, ctx, cross, memory, src_ids, beam_size, T)
         state0 = {
             "k": jnp.zeros((b, self.num_layers, T, d), memory.dtype),
             "v": jnp.zeros((b, self.num_layers, T, d), memory.dtype),
@@ -245,6 +267,69 @@ class TransformerNMTModel:
             bos_token=C.BOS, eos_token=C.EOS,
             ctx_no_expand=("cross", "src_mask", "memory"),
             record_aux_from_state=lambda st: jnp.argmax(st["attn"], axis=-1))
+
+    def _translate_batch_kernel(self, params, ctx, cross, memory, src_ids,
+                                beam_size: int, T: int):
+        """Whole-stack-kernel beam decode: one Pallas program per step runs
+        all L fused decoder layers (ops/transformer_decode.decoder_stack_step
+        with want_attn=True for the UNK→attn-argmax trace). Token-identical
+        to the XLA step path
+        (tests/test_nmt_transformer.py::test_translate_stack_kernel_token_identity)."""
+        from ..ops.beam_search import onmt_beam_search
+        from ..ops.transformer_decode import (decoder_stack_step,
+                                              pack_stack_weights)
+
+        d = self.d_model
+        b = src_ids.shape[0]
+        # cache T padded to the bf16 sublane tile: the kernel's
+        # [rows, T, d] -> [bi, kb*T, d] MXU cache view is layout-preserving
+        # only for T % 16 == 0 (models/transformer._use_layer_kernel); the
+        # pos<=t masks ignore the dead tail
+        T_pad = -(-T // 16) * 16
+        ctx = dict(ctx)
+        del ctx["cross"]
+        ctx["wstack"] = pack_stack_weights(params["dec"])
+        ctx["cross_k"] = jnp.stack([c["k"] for c in cross])
+        ctx["cross_v"] = jnp.stack([c["v"] for c in cross])
+        state0 = {
+            "k": jnp.zeros((b, self.num_layers, T_pad, d), memory.dtype),
+            "v": jnp.zeros((b, self.num_layers, T_pad, d), memory.dtype),
+            "t": jnp.zeros((b,), jnp.int32),
+            "attn": jnp.zeros((b, src_ids.shape[1]), jnp.float32),
+            # lazy-beam-cache ancestry (re-initialized by onmt_beam_search)
+            "anc": jnp.zeros((b, T_pad), jnp.int32),
+        }
+
+        def step_fn(p, c, state, it):
+            t = state["t"]
+            x = (p["tgt_embed"][it] * math.sqrt(d)
+                 + positional_encoding(T, d)[t].astype(memory.dtype))
+            # cache_mode: "full" won the on-chip A/B (1,563 sents/s) over
+            # "window" (1,425 — the per-grid-step output-DMA waits
+            # serialize) and "entries" (1,267 — XLA copies the cache
+            # around the caller-side DUS); see decoder_stack_step
+            x, k_all, v_all, attn = decoder_stack_step(
+                x, t, c["cross_k"], c["cross_v"], c["src_mask"],
+                state["k"], state["v"], c["wstack"], state["anc"],
+                n_heads=self.num_heads, interpret=_INTERPRET,
+                want_attn=True, cache_mode="full")
+            x = layer_norm(p["dec_norm"], x[:, None, :])[:, 0]
+            logits = self.generator_logits(p, x)
+            state = {"k": k_all, "v": v_all, "t": t + 1, "attn": attn,
+                     "anc": state["anc"]}
+            return jax.nn.log_softmax(logits, axis=-1), state
+
+        # k/v are LAZY: append-only rows + the anc mask inside the kernel
+        # replace the per-step [R, L, T, d] cache reorder (xplane: the
+        # reorder+freeze selects and their defensive copies were ~2/3 of
+        # the decode's device time at beam 15)
+        return onmt_beam_search(
+            step_fn, params, ctx, state0, beam_size=beam_size, seq_length=T,
+            bos_token=C.BOS, eos_token=C.EOS,
+            ctx_no_expand=("src_mask", "memory", "wstack", "cross_k",
+                           "cross_v"),
+            record_aux_from_state=lambda st: jnp.argmax(st["attn"], axis=-1),
+            lazy_state=("k", "v"), ancestry_key="anc")
 
 
 def make_nmt_model(cfg):

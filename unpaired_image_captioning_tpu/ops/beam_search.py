@@ -449,6 +449,8 @@ def onmt_beam_search(
     eos_token: int,
     ctx_no_expand: tuple = (),
     record_aux_from_state: Optional[Callable[[Any], jax.Array]] = None,
+    lazy_state: tuple = (),
+    ancestry_key: Optional[str] = None,
 ) -> BeamResult:
     """Beam search with the vendored OpenNMT's exact semantics
     (onmt/Beam.py:50-88, NMT_Models.py:322-395) — these differ from the
@@ -465,6 +467,18 @@ def onmt_beam_search(
 
     Cross-checked token-identical against a torch transcription in
     tests/test_beam_convert_parity.py.
+
+    lazy_state / ancestry_key: lazy beam caches. State keys in
+    `lazy_state` are APPEND-ONLY — their rows are never reordered by
+    parent or frozen (their contents are only ever read through the
+    ancestry mask, so stale rows are unreachable). The `ancestry_key`
+    leaf must be an int32 [batch, T] dummy in state0; it is re-initialized
+    here to each row's LOCAL beam index and updated each step as
+    anc'[k, τ<=t] = anc[parent(k), τ], anc'[k, τ>t] = k — i.e. beam k's
+    position-τ entry names the physical row that wrote it. The step_fn's
+    kernel consults it instead of assuming physically reordered caches
+    (ops/transformer_decode._layer_math). Token-identical to the eager
+    path (tests/test_nmt_transformer.py).
     """
     K = beam_size
     T = seq_length
@@ -472,6 +486,12 @@ def onmt_beam_search(
     ctx = (_expand_to_beams(ctx, K, no_expand=ctx_no_expand)
            if ctx is not None else None)
     state = _expand_to_beams(state0, K)
+    local_row = (jnp.arange(batch * K) % K).astype(jnp.int32)
+    if ancestry_key is not None:
+        # each row starts as its own ancestor at every position (row r
+        # writes its position-t K/V into physical slot r)
+        state[ancestry_key] = jnp.broadcast_to(
+            local_row[:, None], (batch * K, state[ancestry_key].shape[-1]))
 
     cum = jnp.zeros((batch, K), jnp.float32)
     it = jnp.full((batch, K), bos_token, jnp.int32)
@@ -537,7 +557,28 @@ def onmt_beam_search(
                 (batch * K,) + (1,) * (re.ndim - 1))
             return jnp.where(mask, old_leaf, re)
 
-        state = jax.tree.map(reorder_leaf, new_state, state)
+        if lazy_state or ancestry_key is not None:
+            state_next = {}
+            for key, new_leaf in new_state.items():
+                if key in lazy_state:
+                    # append-only cache: rows never move; frozen sentences'
+                    # writes land in rows nothing reads through anc again
+                    state_next[key] = new_leaf
+                elif key == ancestry_key:
+                    re = jnp.take(new_leaf, gather_idx, axis=0)
+                    # the anc buffer may be longer than seq_length (cache
+                    # T padded to the sublane tile) — use its own length
+                    upd = jnp.where(
+                        jnp.arange(new_leaf.shape[-1])[None, :] <= t, re,
+                        local_row[:, None])
+                    frz_rows = jnp.repeat(done, K)[:, None]
+                    state_next[key] = jnp.where(frz_rows, state[key], upd)
+                else:
+                    state_next[key] = jax.tree.map(
+                        reorder_leaf, new_leaf, state[key])
+            state = state_next
+        else:
+            state = jax.tree.map(reorder_leaf, new_state, state)
         # EOS at top-of-beam finishes the sentence (Beam.py:83-85)
         done = jnp.logical_or(done, tok[:, 0] == eos_token)
         return (t + 1, state, cum, it, seq_buf, logp_buf, aux_buf, done)

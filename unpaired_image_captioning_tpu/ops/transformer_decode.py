@@ -85,11 +85,22 @@ def _mm(a, b):
 
 
 def _layer_math(x, t, ck, cv, m, cache_k, cache_v, w, *, n_heads: int,
-                bi: int, kb: int):
+                bi: int, kb: int, anc=None):
     """One decoder layer's math on in-VMEM values. x [rows, d]; t [rows, 1]
     int32; ck/cv [bi, S, d] shared cross K/V; m [bi, S] src mask; cache_k/v
-    [rows, T, d]. Returns (x_out, ck_new, cv_new). Shared by the per-layer
-    and whole-stack kernels."""
+    [rows, T, d]. Returns (x_out, ck_new, cv_new, attn_mean) where
+    attn_mean [bi, kb, S] f32 is the mean-over-heads cross-attention weight
+    (the NMT path's UNK→attn-argmax signal, NMT_Models.py:312-320). Shared
+    by the per-layer and whole-stack kernels.
+
+    anc [bi, kb, T] int32 (optional): LAZY beam cache. When given, the
+    cache rows are append-only (beam search never physically reorders
+    them) and anc[b, k, τ] names the physical row that wrote beam k's
+    position-τ K/V; the self-attention mask consults it instead of
+    `col_j == row_k`. This turns the [R, L, T, d] cache reorder (~600 MB a
+    step at NMT beam 15) into a [R, T] int32 gather — the kernel already
+    scores every (query-beam, key-row) pair on the MXU, so the masked
+    form costs nothing extra."""
     rows, d = x.shape
     dh = d // n_heads
     T = cache_k.shape[1]
@@ -118,13 +129,31 @@ def _layer_math(x, t, ck, cv, m, cache_k, cache_v, w, *, n_heads: int,
     ck2 = ck_new.reshape(bi, kb * T, d)
     cv2 = cv_new.reshape(bi, kb * T, d)
     q3 = q.reshape(bi, kb, d)
+    t3 = t.reshape(bi, kb)
     colm = jax.lax.broadcasted_iota(jnp.int32, (kb, kb * T), 1)
     col_j = colm // T                              # key row's beam
     col_t = colm - col_j * T                       # key row's position
-    row_k = jax.lax.broadcasted_iota(jnp.int32, (kb, kb * T), 0)
-    t3 = t.reshape(bi, kb)
-    ok = jnp.logical_and((col_j == row_k)[None],
-                         col_t[None] <= t3[:, :, None])  # [bi, kb, kb*T]
+    if anc is None:
+        row_k = jax.lax.broadcasted_iota(jnp.int32, (kb, kb * T), 0)
+        ok = jnp.logical_and((col_j == row_k)[None],
+                             col_t[None] <= t3[:, :, None])  # [bi,kb,kb*T]
+    else:
+        # lazy cache: beam k's position-τ K/V lives in row anc[k, τ], so
+        # the self-mask is anc[k, col_t] == col_j. Mosaic can't shape-cast
+        # a [bi,kb,kb,T] compare into the lane dim, so expand anc across
+        # columns with a constant 0/1 position matmul instead:
+        # tiled[r, j*T+τ] = Σ_τ' anc[r, τ'] · (τ' == τ) — exact in f32 for
+        # row indices < 2^24, and an 11-MFLOP MXU blip at beam 15.
+        cm2 = jax.lax.broadcasted_iota(jnp.int32, (T, kb * T), 1)
+        ct2 = cm2 - (cm2 // T) * T
+        E = (ct2 == jax.lax.broadcasted_iota(jnp.int32, (T, kb * T), 0)
+             ).astype(jnp.float32)
+        tiled = jax.lax.dot_general(
+            anc.reshape(rows, T).astype(jnp.float32), E,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(bi, kb, kb * T)
+        ok = jnp.logical_and(tiled == col_j[None].astype(jnp.float32),
+                             col_t[None] <= t3[:, :, None])
     # heads fold into the dot batch dim (head-major stacks are cheap
     # VMEM-local copies here; the lane pad 64->128 only hits temporaries):
     # 8 score dots + 8 value dots become 1 + 1
@@ -170,7 +199,9 @@ def _layer_math(x, t, ck, cv, m, cache_k, cache_v, w, *, n_heads: int,
     m_b = jnp.broadcast_to(m[None, :, None, :],
                            (n_heads, bi, kb, S)).reshape(hb, kb, S)
     sc2 = jnp.where(m_b > 0, sc2, -1e9)
-    wgt = jax.nn.softmax(sc2, axis=-1).astype(dt)
+    wgt32 = jax.nn.softmax(sc2, axis=-1)               # [hb, kb, S] f32
+    attn_mean = jnp.mean(wgt32.reshape(n_heads, bi, kb, S), axis=0)
+    wgt = wgt32.astype(dt)
     out2h = jax.lax.dot_general(                   # [hb, kb, dh]
         wgt, cvh, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
@@ -183,7 +214,7 @@ def _layer_math(x, t, ck, cv, m, cache_k, cache_v, w, *, n_heads: int,
     y = _ln(x, w["ln3_s"], w["ln3_b"])
     h1 = jax.nn.relu(_mm(y, w["w1"]) + w["b1"].astype(jnp.float32)).astype(dt)
     x = x + (_mm(h1, w["w2"]) + w["b2"].astype(jnp.float32)).astype(dt)
-    return x, ck_new, cv_new
+    return x, ck_new, cv_new, attn_mean, k_t, v_t
 
 
 def _layer_kernel(x_ref, t_ref, ck_ref, cv_ref, mask_ref, cache_k_ref,
@@ -196,7 +227,7 @@ def _layer_kernel(x_ref, t_ref, ck_ref, cv_ref, mask_ref, cache_k_ref,
     bi, kb_, d = x_ref.shape
     rows = bi * kb
     T = cache_k_ref.shape[2]
-    x, ck_new, cv_new = _layer_math(
+    x, ck_new, cv_new, *_ = _layer_math(
         x_ref[:].reshape(rows, d),
         t_ref[:].reshape(rows, 1),
         ck_ref[:], cv_ref[:],
@@ -233,21 +264,50 @@ def pack_stack_weights(dec_params) -> dict:
 
 
 def _stack_kernel(x0_ref, t_ref, ck_ref, cv_ref, mask_ref, k_in_ref,
-                  v_in_ref, *rest, n_heads: int, kb: int, bi: int):
+                  v_in_ref, *rest, n_heads: int, kb: int, bi: int,
+                  want_attn: bool = False, lazy: bool = False,
+                  cache_mode: str = "full"):
     """Whole-decoder-stack step: grid (L, B/bi), layer-major order. The
     residual stream x lives in the whole-array output buffer (VMEM-resident
     across grid steps): step (l, i) reads block i's rows (from x0 at l=0),
     runs layer l, writes them back. Layer weights sit in HBM and are DMA'd
     into single-buffered scratch at each layer's first block — auto
     BlockSpec streaming would double-buffer the ~7 MB weight set and blow
-    VMEM."""
+    VMEM. With want_attn, the mean-head cross-attention weights are written
+    every layer to the same block — last layer's write survives (layer-major
+    grid), matching the NMT step's last-layer attn for UNK replacement."""
+    if lazy:
+        anc_ref, rest = rest[0], rest[1:]
+    else:
+        anc_ref = None
+    if cache_mode == "window":
+        ts_ref, rest = rest[0], rest[1:]
     n_w = len(_WKEYS)
+    n_out = 4 if want_attn else 3
     w_hbm = rest[:n_w]
     xo_ref, ko_ref, vo_ref = rest[n_w:n_w + 3]
-    scrs = rest[n_w + 3:n_w + 3 + n_w]
-    sem = rest[-1]
+    attn_ref = rest[n_w + 3] if want_attn else None
+    scrs = rest[n_w + n_out:n_w + n_out + n_w]
+    if cache_mode == "window":
+        kwin_scr, vwin_scr, wsem = rest[-4:-1]
+        sem = rest[-1]
+    else:
+        sem = rest[-1]
     l = pl.program_id(0)
     i = pl.program_id(1)
+
+    if cache_mode == "window":
+        # prefetch the 8-aligned cache window holding slot t (overlaps the
+        # layer math below); tv is uniform across rows (onmt beam, no
+        # diverse groups)
+        tv = ts_ref[0]
+        tv8 = (tv // 8) * 8
+        kwin_cp = pltpu.make_async_copy(
+            k_in_ref.at[:, :, 0, pl.ds(tv8, 8), :], kwin_scr, wsem.at[0])
+        vwin_cp = pltpu.make_async_copy(
+            v_in_ref.at[:, :, 0, pl.ds(tv8, 8), :], vwin_scr, wsem.at[1])
+        kwin_cp.start()
+        vwin_cp.start()
 
     @pl.when(i == 0)
     def _fetch_weights():
@@ -264,47 +324,107 @@ def _stack_kernel(x0_ref, t_ref, ck_ref, cv_ref, mask_ref, k_in_ref,
     x_first = x0_ref[:].reshape(rows, d)
     x_prev = xo_ref[pl.ds(i * bi, bi)].reshape(rows, d)
     x = jnp.where(l == 0, x_first, x_prev)
-    x_out, ck_new, cv_new = _layer_math(
+    x_out, ck_new, cv_new, attn, k_t, v_t = _layer_math(
         x,
         t_ref[:].reshape(rows, 1),
         ck_ref[:][0], cv_ref[:][0],            # [1,bi,S,d] -> [bi,S,d]
         mask_ref[:][:, 0, :],
         k_in_ref[:].reshape(rows, T, d),       # [bi,kb,1,T,d]
         v_in_ref[:].reshape(rows, T, d),
-        w, n_heads=n_heads, bi=bi, kb=kb)
+        w, n_heads=n_heads, bi=bi, kb=kb,
+        anc=(anc_ref[:] if lazy else None))
     xo_ref[pl.ds(i * bi, bi)] = x_out.reshape(bi, kb, d)
-    ko_ref[:] = ck_new.reshape(bi, kb, 1, T, d)
-    vo_ref[:] = cv_new.reshape(bi, kb, 1, T, d)
+    if cache_mode == "window":
+        # write-traffic elision: instead of streaming the whole (unchanged)
+        # cache back out — ~half the kernel's HBM traffic — DMA back only
+        # the 8-aligned window around slot t with the new entry inserted.
+        # (A bare 1-slot write is Mosaic-illegal: T-slices must be
+        # 8-aligned in SHAPE; /tmp window-DMA probe r4.)
+        kwin_cp.wait()
+        vwin_cp.wait()
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (bi, kb, 8, d), 2)
+        off = tv - tv8
+        kwin_scr[:] = jnp.where(rowi == off, k_t.reshape(bi, kb, 1, d),
+                                kwin_scr[:])
+        vwin_scr[:] = jnp.where(rowi == off, v_t.reshape(bi, kb, 1, d),
+                                vwin_scr[:])
+        kw_out = pltpu.make_async_copy(
+            kwin_scr, ko_ref.at[pl.ds(i * bi, bi), :, l, pl.ds(tv8, 8)],
+            wsem.at[0])
+        vw_out = pltpu.make_async_copy(
+            vwin_scr, vo_ref.at[pl.ds(i * bi, bi), :, l, pl.ds(tv8, 8)],
+            wsem.at[1])
+        kw_out.start()
+        vw_out.start()
+        kw_out.wait()
+        vw_out.wait()
+    elif cache_mode == "entries":
+        # only the NEW position-t entries leave the kernel ([1, bi, kb, d]
+        # per layer); the caller folds them into its carried cache with a
+        # dynamic_update_slice. (Kept for reference: XLA copies the whole
+        # cache around the DUS inside the beam while-loop, so "window"
+        # wins on TPU.)
+        ko_ref[:] = k_t.reshape(1, bi, kb, d)
+        vo_ref[:] = v_t.reshape(1, bi, kb, d)
+    else:
+        ko_ref[:] = ck_new.reshape(bi, kb, 1, T, d)
+        vo_ref[:] = cv_new.reshape(bi, kb, 1, T, d)
+    if want_attn:
+        attn_ref[:] = attn  # last layer's write survives (grid is l-major)
 
 
 def _pick_bi_stack(b: int, kb: int, S: int, d: int, T: int, dff: int,
-                   itemsize: int) -> int:
+                   itemsize: int, cache_mode: str = "full") -> int:
     """VMEM budget for the stack kernel: weight scratch is single-buffered;
-    cross K/V blocks (2 arrays) and cache blocks (2 in + 2 out) are
-    double-buffered by the pipeline; the x carry is one whole [B,kb,d]
-    buffer."""
+    cross K/V blocks (2 arrays) and cache blocks (2 in + 2 out, or 2 in +
+    2 slot-entry out under emit_entries) are double-buffered by the
+    pipeline; the x carry is one whole [B,kb,d] buffer."""
     weights = (3 * d * d + d * d + d * d + d * d + 2 * d * dff) * itemsize
     fixed = weights + b * kb * d * itemsize
+    # out-side cache VMEM per image block: full [*,T,d] blocks, tiny
+    # [*,1,d] entry blocks, or the single-buffered 8-slot window scratch
+    cache_T_out = {"full": 2 * T, "entries": 2, "window": 8}[cache_mode]
     for bi in range(b, 0, -1):
         if b % bi:
             continue
-        blocks = (2 * 2 * S * d + 2 * 4 * kb * T * d
+        blocks = (2 * 2 * S * d + 2 * (2 * T + cache_T_out) * kb * d
                   + 2 * 2 * kb * d) * bi * itemsize
         if fixed + blocks <= VMEM_BUDGET:
             return bi
     return 1
 
 
-@functools.partial(jax.jit, static_argnames=("n_heads", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "interpret", "want_attn",
+                                    "cache_mode"))
 def decoder_stack_step(x, t, ck_all, cv_all, src_mask, cache_k, cache_v,
-                       wstack, *, n_heads: int, interpret: bool = False):
+                       wstack, anc=None, *, n_heads: int,
+                       interpret: bool = False, want_attn: bool = False,
+                       cache_mode: str = "full"):
     """All L fused decoder layers for one decode step in ONE Pallas program.
 
     x [R, d]; t [R] int32; ck_all/cv_all [L, B, S, d] unexpanded cross K/V;
     src_mask [B, S] or [B, 1, S] or None; cache_k/v [R, L, T, d] — row axis
     LEADING so beam search's axis-0 state reorder and in-place aliasing
     both keep working (the kernel blocks the middle layer axis). wstack:
-    pack_stack_weights output. Returns (x', cache_k', cache_v')."""
+    pack_stack_weights output. Returns (x', cache_k', cache_v'), plus the
+    LAST layer's mean-head cross-attention weights [R, S] f32 when
+    want_attn (the transformer-NMT UNK→attn-argmax signal).
+
+    anc [R, T] int32 (optional): lazy-beam-cache ancestry — see
+    _layer_math. With anc the caller must NOT reorder cache_k/cache_v
+    across beam steps (onmt_beam_search's lazy_state mechanism).
+
+    cache_mode:
+    - "full": aliased full-cache outputs (block writes) — required when t
+      is per-row (diverse groups).
+    - "window": aliased ANY-space cache outputs; the kernel DMAs back
+      ONLY the 8-aligned T-window containing slot t with the new entry
+      inserted — write traffic drops from R·L·T·d to R·L·8·d a step.
+      Requires UNIFORM t across rows (onmt beam; t is read from t[0]).
+    - "entries": return the new position-t K/V as [R, L, d] for the
+      caller to DUS into its carry (kept for reference — XLA copies the
+      whole cache around the DUS in a while body, so "window" wins)."""
     R, d = x.shape
     L, B, S, _ = ck_all.shape
     kb = R // B
@@ -314,10 +434,13 @@ def decoder_stack_step(x, t, ck_all, cv_all, src_mask, cache_k, cache_v,
         src_mask = jnp.ones((B, S), jnp.float32)
     elif src_mask.ndim == 3:
         src_mask = src_mask[:, 0, :]
-    bi = _pick_bi_stack(B, kb, S, d, T, dff, x.dtype.itemsize)
+    bi = _pick_bi_stack(B, kb, S, d, T, dff, x.dtype.itemsize,
+                        cache_mode=cache_mode)
     grid = (L, B // bi)
 
-    kern = functools.partial(_stack_kernel, n_heads=n_heads, kb=kb, bi=bi)
+    kern = functools.partial(_stack_kernel, n_heads=n_heads, kb=kb, bi=bi,
+                             want_attn=want_attn, lazy=anc is not None,
+                             cache_mode=cache_mode)
 
     in_specs = [
         pl.BlockSpec((bi, kb, d), lambda l, i: (i, 0, 0),
@@ -334,34 +457,69 @@ def decoder_stack_step(x, t, ck_all, cv_all, src_mask, cache_k, cache_v,
                      memory_space=pltpu.VMEM),          # cache_k
         pl.BlockSpec((bi, kb, 1, T, d), lambda l, i: (i, 0, l, 0, 0),
                      memory_space=pltpu.VMEM),          # cache_v
-    ] + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in _WKEYS]
+    ] + ([pl.BlockSpec((bi, kb, T), lambda l, i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)]        # anc (lazy cache)
+         if anc is not None else []) \
+      + ([pl.BlockSpec(memory_space=pltpu.SMEM)]        # ts (window mode)
+         if cache_mode == "window" else []) \
+      + [pl.BlockSpec(memory_space=pl.ANY) for _ in _WKEYS]
+    if cache_mode == "window":
+        # ANY-space aliased outputs: the kernel window-DMAs slot t's
+        # 8-aligned neighborhood; everything else keeps the input bytes
+        cache_out_spec = pl.BlockSpec(memory_space=pl.ANY)
+        cache_out_shape = jax.ShapeDtypeStruct((B, kb, L, T, d),
+                                               cache_k.dtype)
+    elif cache_mode == "entries":
+        # L leads: a [*, 1(L), d] block would slice the tiled
+        # second-to-minor dim (Mosaic: must be 8-aligned); [1(L), bi, kb,
+        # d] blocks keep the tiled pair (kb, d) whole
+        cache_out_spec = pl.BlockSpec((1, bi, kb, d),
+                                      lambda l, i: (l, i, 0, 0),
+                                      memory_space=pltpu.VMEM)
+        cache_out_shape = jax.ShapeDtypeStruct((L, B, kb, d), cache_k.dtype)
+    else:
+        cache_out_spec = pl.BlockSpec((bi, kb, 1, T, d),
+                                      lambda l, i: (i, 0, l, 0, 0),
+                                      memory_space=pltpu.VMEM)
+        cache_out_shape = jax.ShapeDtypeStruct((B, kb, L, T, d),
+                                               cache_k.dtype)
     out_specs = (
         pl.BlockSpec((B, kb, d), lambda l, i: (0, 0, 0),
                      memory_space=pltpu.VMEM),          # x carry / result
-        pl.BlockSpec((bi, kb, 1, T, d), lambda l, i: (i, 0, l, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((bi, kb, 1, T, d), lambda l, i: (i, 0, l, 0, 0),
-                     memory_space=pltpu.VMEM),
+        cache_out_spec,
+        cache_out_spec,
     )
     out_shape = (jax.ShapeDtypeStruct((B, kb, d), x.dtype),
-                 jax.ShapeDtypeStruct((B, kb, L, T, d), cache_k.dtype),
-                 jax.ShapeDtypeStruct((B, kb, L, T, d), cache_v.dtype))
+                 cache_out_shape, cache_out_shape)
+    if want_attn:
+        out_specs = out_specs + (
+            pl.BlockSpec((bi, kb, S), lambda l, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),)
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((B, kb, S), jnp.float32),)
 
     flops = L * R * (2 * (3 + 1 + 1 + 1) * d * d + 4 * d * dff
                      + 4 * T * d + 4 * S * d)
     wbytes = sum(int(np.prod(wstack[k].shape)) for k in _WKEYS)
-    xn, kn, vn = pl.pallas_call(
+    outs = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        input_output_aliases={5: 1, 6: 2},  # caches update in place
+        # full/window cache outputs update in place; "entries" has no big
+        # outputs to alias (the caller DUSes the entries into the carry)
+        input_output_aliases=({} if cache_mode == "entries"
+                              else {5: 1, 6: 2}),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         scratch_shapes=[pltpu.VMEM(wstack[k].shape[1:], wstack[k].dtype)
                         for k in _WKEYS]
+        + ([pltpu.VMEM((bi, kb, 8, d), cache_k.dtype),
+            pltpu.VMEM((bi, kb, 8, d), cache_v.dtype),
+            pltpu.SemaphoreType.DMA((2,))]
+           if cache_mode == "window" else [])
         + [pltpu.SemaphoreType.DMA((len(_WKEYS),))],
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -371,9 +529,20 @@ def decoder_stack_step(x, t, ck_all, cv_all, src_mask, cache_k, cache_v,
     )(x.reshape(B, kb, d), t.reshape(B, kb, 1).astype(jnp.int32),
       ck_all, cv_all, src_mask.astype(jnp.float32)[:, None, :],
       cache_k.reshape(B, kb, L, T, d), cache_v.reshape(B, kb, L, T, d),
+      *([anc.reshape(B, kb, T).astype(jnp.int32)] if anc is not None else []),
+      *([t[:1].astype(jnp.int32)] if cache_mode == "window" else []),
       *[wstack[k] for k in _WKEYS])
-    return (xn.reshape(R, d), kn.reshape(R, L, T, d),
-            vn.reshape(R, L, T, d))
+    xn, kn, vn = outs[:3]
+    if cache_mode == "entries":
+        ret = (xn.reshape(R, d),
+               jnp.transpose(kn, (1, 2, 0, 3)).reshape(R, L, d),
+               jnp.transpose(vn, (1, 2, 0, 3)).reshape(R, L, d))
+    else:
+        ret = (xn.reshape(R, d), kn.reshape(R, L, T, d),
+               vn.reshape(R, L, T, d))
+    if want_attn:
+        return ret + (outs[3].reshape(R, S),)
+    return ret
 
 
 def _pick_bi(b: int, kb: int, S: int, d: int, T: int, dff: int,

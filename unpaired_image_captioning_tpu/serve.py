@@ -169,10 +169,98 @@ class CaptionService:
         self.batcher.close()
 
 
-def make_http_server(service: CaptionService, port: int = 8000
+class PivotService:
+    """Feature-in, (zh caption, en caption)-out service: the HEADLINE
+    unpaired task (reference eval_pivot.py pipeline — zh decode →
+    json→txt→subprocess translate) served as ONE fused on-device program
+    per micro-batch (pivot.pivot_translate: caption beam → id remap →
+    NMT beam), with the eval path's UNK→attention-argmax surface
+    replacement and contraction expansion on the way out."""
+
+    def __init__(self, cap_model, cap_params, nmt_model, nmt_params,
+                 zh_vocab: dict, nmt_tgt_itos: dict, cap2nmt, *,
+                 cap_beam: int = 5, nmt_beam: int = 15,
+                 nmt_max_len: int = 20, max_batch: int = 32,
+                 max_wait_ms: float = 5.0, replace_unk: bool = True,
+                 src2tgt=None):
+        import jax
+        import jax.numpy as jnp
+
+        from . import constants as C
+        from .models.base import Features
+        from .pivot import pivot_translate
+        from .utils.text import decode_sequence, expand_contractions
+
+        self.cap_params, self.nmt_params = cap_params, nmt_params
+        cap2nmt_arr = jnp.asarray(cap2nmt)
+        s2t = None if src2tgt is None else jnp.asarray(src2tgt)
+
+        @jax.jit
+        def decode(cp, nparams, fc, att, masks):
+            feats = Features(fc_feats=fc, att_feats=att, att_masks=masks)
+            return pivot_translate(cap_model, cp, nmt_model, nparams, feats,
+                                   cap2nmt_arr, cap_beam=cap_beam,
+                                   nmt_beam=nmt_beam,
+                                   nmt_max_len=nmt_max_len, src2tgt=s2t)
+
+        def decode_batch(stacked: dict) -> List[dict]:
+            fc, att = stacked["fc"], stacked["att"]
+            if jax.default_backend() == "tpu":
+                import ml_dtypes
+
+                fc = fc.astype(ml_dtypes.bfloat16)
+                att = att.astype(ml_dtypes.bfloat16)
+            zh, en, attn = decode(self.cap_params, self.nmt_params,
+                                  jnp.asarray(fc), jnp.asarray(att),
+                                  jnp.asarray(stacked["masks"], jnp.float32))
+            zh_np, en_np = np.asarray(zh), np.asarray(en)
+            attn_np = np.asarray(attn)
+            zh_caps = decode_sequence(zh_vocab, zh_np)
+            outs = []
+            for bi in range(zh_np.shape[0]):
+                words = []
+                for t, tok in enumerate(en_np[bi]):
+                    tok = int(tok)
+                    if tok in (C.PAD, C.EOS):
+                        break
+                    if tok == C.BOS:
+                        continue
+                    if tok == C.UNK and replace_unk:
+                        j = int(attn_np[bi, t])
+                        src_tok = int(zh_np[bi, j]) if j < zh_np.shape[1] else 0
+                        words.append(zh_vocab.get(str(src_tok),
+                                                  zh_vocab.get(src_tok,
+                                                               C.UNK_WORD)))
+                    else:
+                        words.append(nmt_tgt_itos.get(tok, C.UNK_WORD))
+                outs.append({"zh": zh_caps[bi],
+                             "en": expand_contractions(" ".join(words))})
+            return outs
+
+        self._decode_batch = decode_batch
+        self.batcher = MicroBatcher(decode_batch, max_batch=max_batch,
+                                    max_wait_ms=max_wait_ms)
+
+    def pivot(self, fc: np.ndarray, att: np.ndarray,
+              masks: Optional[np.ndarray] = None,
+              timeout: float = 60.0) -> dict:
+        if masks is None:
+            masks = np.ones(att.shape[:1], np.float32)
+        fut = self.batcher.submit({"fc": np.asarray(fc, np.float32),
+                                   "att": np.asarray(att, np.float32),
+                                   "masks": np.asarray(masks, np.float32)})
+        return fut.result(timeout=timeout)
+
+    def close(self):
+        self.batcher.close()
+
+
+def make_http_server(service: CaptionService, port: int = 8000,
+                     pivot_service: Optional[PivotService] = None
                      ) -> ThreadingHTTPServer:
     """POST /caption {"fc": [...], "att": [[...]]} -> {"caption": str};
-    GET /stats -> batcher stats."""
+    POST /pivot (same body) -> {"zh": str, "en": str} (when a
+    PivotService is attached); GET /stats -> batcher stats."""
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
@@ -195,16 +283,26 @@ def make_http_server(service: CaptionService, port: int = 8000
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/caption":
+            if self.path == "/caption":
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n))
+                    cap = service.caption(np.asarray(req["fc"], np.float32),
+                                          np.asarray(req["att"], np.float32))
+                    self._send(200, {"caption": cap})
+                except Exception as e:
+                    self._send(400, {"error": str(e)})
+            elif self.path == "/pivot" and pivot_service is not None:
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n))
+                    out = pivot_service.pivot(
+                        np.asarray(req["fc"], np.float32),
+                        np.asarray(req["att"], np.float32))
+                    self._send(200, out)
+                except Exception as e:
+                    self._send(400, {"error": str(e)})
+            else:
                 self._send(404, {"error": "not found"})
-                return
-            try:
-                n = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(n))
-                cap = service.caption(np.asarray(req["fc"], np.float32),
-                                      np.asarray(req["att"], np.float32))
-                self._send(200, {"caption": cap})
-            except Exception as e:
-                self._send(400, {"error": str(e)})
 
     return ThreadingHTTPServer(("127.0.0.1", port), Handler)
