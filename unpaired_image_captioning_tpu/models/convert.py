@@ -216,6 +216,11 @@ def convert_nmt_model(state: Dict[str, np.ndarray], *, layers: int = 1,
              _t(state, "decoder.embeddings.word_lut.weight"))},
              "rnn": [], "attn": {}},
          }
+    if "encoder.embeddings.linear.weight" in state:
+        # main-repo encoder embeddings MLP (NMT_Models.py:41-42,67 — the
+        # py2 `feature_dicts=[]` default; see NMTEncoder.emb_mlp)
+        p["encoder"]["embeddings"]["linear"] = _linear(
+            state, "encoder.embeddings.linear")
     for l in range(layers):
         lp = {"fwd": _torch_lstmcell(state, "encoder.rnn",
                                      ih=f"weight_ih_l{l}", hh=f"weight_hh_l{l}",

@@ -85,6 +85,14 @@ class NMTEncoder:
     brnn: bool = True
     dropout: float = 0.3
     position_encoding: bool = False
+    # BottleLinear+ReLU on the source word embeddings. The main-repo
+    # NMT_Models.py Encoder ALWAYS applies it (Embeddings.__init__'s py2
+    # mutable default `feature_dicts=[]` is not-None, :28,41-42,67); the
+    # vendored fork — the authoritative onmt per SURVEY §0 — defaults it
+    # OFF (onmt/Models.py:96 feature_dicts=None, MLP only with real
+    # feature dicts). Off by default here; flip on for main-repo parity
+    # (tests/test_ref_nmt_source_parity.py executes that source).
+    emb_mlp: bool = False
 
     @property
     def num_directions(self) -> int:
@@ -99,6 +107,10 @@ class NMTEncoder:
         k0, k1 = jax.random.split(rng)
         p = {"embeddings": embeddings_init(k0, self.vocab_size, self.word_vec_size),
              "layers": []}
+        if self.emb_mlp:
+            p["embeddings"]["linear"] = linear_init(
+                jax.random.fold_in(k0, 1), self.word_vec_size,
+                self.word_vec_size)
         for layer in range(self.layers):
             in_size = (self.word_vec_size if layer == 0
                        else self.hidden_size * self.num_directions)
@@ -145,6 +157,8 @@ class NMTEncoder:
         x = embed_tokens(params["embeddings"], src_ids,
                          position_encoding=self.position_encoding,
                          dropout=self.dropout, training=training, rng=r[0])
+        if self.emb_mlp:
+            x = jax.nn.relu(linear(params["embeddings"]["linear"], x))
         finals_h, finals_c = [], []
         for li, lp in enumerate(params["layers"]):
             out_f, h_f, c_f = self._scan_dir(lp["fwd"], x, lengths, False)
@@ -440,6 +454,8 @@ class NMTModel:
     copy_attn: bool = False
     max_decode_len: int = 100   # translateBatch cap (NMT_Models.py:348)
     beam_size: int = 15         # NMT_Models.py:323
+    src_emb_mlp: bool = False   # main-repo encoder-embeddings MLP (see
+    # NMTEncoder.emb_mlp — a py2 mutable-default accident upstream)
     remat: bool = False         # rematerialize decoder steps (the TPU-native
     # answer to the reference's sharded MemoryEfficientLoss,
     # onmt/Loss.py:100-213: trade recompute for activation memory)
@@ -448,7 +464,7 @@ class NMTModel:
     def encoder(self) -> NMTEncoder:
         return NMTEncoder(self.src_vocab_size, self.word_vec_size, self.rnn_size,
                           self.layers, self.brnn, self.dropout,
-                          self.position_encoding)
+                          self.position_encoding, emb_mlp=self.src_emb_mlp)
 
     @property
     def decoder(self) -> NMTDecoder:
