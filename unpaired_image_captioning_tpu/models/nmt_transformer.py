@@ -304,15 +304,18 @@ class TransformerNMTModel:
             t = state["t"]
             x = (p["tgt_embed"][it] * math.sqrt(d)
                  + positional_encoding(T, d)[t].astype(memory.dtype))
-            # cache_mode: "full" won the on-chip A/B (1,563 sents/s) over
-            # "window" (1,425 — the per-grid-step output-DMA waits
-            # serialize) and "entries" (1,267 — XLA copies the cache
-            # around the caller-side DUS); see decoder_stack_step
+            # cache_mode on-chip A/B: "window" at bi=2 wins (1,675
+            # sents/s) — its single-buffered DMA scratch frees VMEM for a
+            # second image per block, halving grid steps and doubling the
+            # MXU M rows; "full" 1,563 (bi=1), "window" at bi=1 1,425 (the
+            # output-DMA waits serialize without the bi win), "entries"
+            # 1,267 (XLA copies the cache around the caller-side DUS).
+            # t is uniform across rows (onmt beam — window's requirement)
             x, k_all, v_all, attn = decoder_stack_step(
                 x, t, c["cross_k"], c["cross_v"], c["src_mask"],
                 state["k"], state["v"], c["wstack"], state["anc"],
                 n_heads=self.num_heads, interpret=_INTERPRET,
-                want_attn=True, cache_mode="full")
+                want_attn=True, cache_mode="window")
             x = layer_norm(p["dec_norm"], x[:, None, :])[:, 0]
             logits = self.generator_logits(p, x)
             state = {"k": k_all, "v": v_all, "t": t + 1, "attn": attn,

@@ -60,8 +60,11 @@ from jax.experimental.pallas import tpu as pltpu
 # (xplane, beam decode): k=5 lane m=3 32.7 us vs iterative 67.2; k=3
 # lane m=2 18.9 vs iterative 23.4 — a lane tier (sublane-axis reduce)
 # is ~2x cheaper than an iterative full-row pass, so everything k>=3
-# routes to the lane kernel (k=4 by the same tier economics, not a
-# direct measurement) and only k<=2 stays iterative.
+# routes to the lane kernel and only k<=2 stays iterative. The k=4 tier
+# was measured directly round 4 (`ab_topk5.py 4`, same shape): iterative
+# 137.3, lane m=4 122.9, m=3 129.0, m=2 112.1-but-~6%-fallback — m=3 and
+# m=4 are within chained-A/B noise (which ranks but inflates); the
+# m=3 routing stands on the measurement, not just tier economics.
 MAX_ITERATIVE_K = 2
 MAX_LANE_K = 16
 LANE_M = 4

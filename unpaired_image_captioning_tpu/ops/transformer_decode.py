@@ -41,6 +41,14 @@ import os
 
 VMEM_BUDGET = int(os.environ.get("UIC_TFD_VMEM_BUDGET",
                                  str(12 * 1024 * 1024)))
+# Window cache mode single-buffers its small DMA scratch instead of
+# double-buffering full cache output blocks, so the same physical 16 MB
+# fits a larger estimate — and the bigger bi halves the grid steps AND
+# doubles the matmul M rows (the kernel is MXU-row-padding-bound at beam
+# 15: M=kb·bi vs the 128-row systolic array). v5e A/B at the NMT shape:
+# bi=1 1,563 sents/s -> bi=2 1,675 (tools/perf/prof_nmt_transformer.py).
+WINDOW_VMEM_BUDGET = int(os.environ.get("UIC_TFD_WINDOW_VMEM_BUDGET",
+                                        str(14 * 1024 * 1024)))
 
 
 def pack_layer_weights(lp) -> dict:
@@ -384,12 +392,13 @@ def _pick_bi_stack(b: int, kb: int, S: int, d: int, T: int, dff: int,
     # out-side cache VMEM per image block: full [*,T,d] blocks, tiny
     # [*,1,d] entry blocks, or the single-buffered 8-slot window scratch
     cache_T_out = {"full": 2 * T, "entries": 2, "window": 8}[cache_mode]
+    budget = WINDOW_VMEM_BUDGET if cache_mode == "window" else VMEM_BUDGET
     for bi in range(b, 0, -1):
         if b % bi:
             continue
         blocks = (2 * 2 * S * d + 2 * (2 * T + cache_T_out) * kb * d
                   + 2 * 2 * kb * d) * bi * itemsize
-        if fixed + blocks <= VMEM_BUDGET:
+        if fixed + blocks <= budget:
             return bi
     return 1
 
