@@ -52,11 +52,27 @@ def layer_norm_init(dim: int) -> dict:
     return {"scale": jnp.ones((dim,)), "offset": jnp.zeros((dim,))}
 
 
-def layer_norm(p, x, eps: float = 1e-6):
+# Fused training LayerNorm (ops/ln_train.py): forward stats + backward
+# (which XLA splits into 3-4 full-tensor-re-reading fusions per norm,
+# ~7 ms of the 25 ms batch-50 XE step) as ONE Pallas program each way with
+# a custom VJP. Training-only: inference LN is already inside the decode
+# megakernels or fused by XLA into neighbors.
+TRAIN_LN_KERNEL = True
+
+
+def layer_norm(p, x, eps: float = 1e-6, *, training: bool = False):
     """Reference formula exactly (TransformerModel.py:96-105):
     a_2 * (x - mean) / (std + eps) + b_2 with torch's UNBIASED std (n-1
     divisor, eps OUTSIDE the sqrt) — required for converted-checkpoint
     token identity (tests/test_beam_convert_parity.py)."""
+    if (TRAIN_LN_KERNEL and training
+            and jax.default_backend() == "tpu"):
+        from ..ops.ln_train import fused_layer_norm, ln_kernel_ok
+
+        if ln_kernel_ok(x.shape, x.shape[-1]):
+            # native [B, T, d] layout in and out — a flatten-to-rows wrapper
+            # was a physical relayout here (196 % 8 != 0), see ln_train.py
+            return fused_layer_norm(x, p["scale"], p["offset"], eps)
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     n = x32.shape[-1]
@@ -130,6 +146,60 @@ def mha_apply(p, q_in, k, v, mask, n_heads: int, *, training=False, rng=None):
     if REMAT_ATTENTION:
         core = jax.checkpoint(core)
     return core(p["q"], p["o"], q_in, k, v, mask, rng)
+
+
+# Fused whole-layer training kernel (ops/layer_train.py): each ENCODER
+# layer's LN1/packed-QKV/attention/O/residual/LN2/FFN/residual — forward and
+# backward — runs as one Pallas program per batch element instead of ~20 XLA
+# ops (fwd) + ~25 (bwd). Subsumes TRAIN_MHA_KERNEL and TRAIN_LN_KERNEL for
+# the encoder; those still serve the decoder sublayers. A/B + motivation:
+# BASELINE.md round-4 transformer training section.
+TRAIN_LAYER_KERNEL = True
+
+
+def enc_layer_apply(lp, x, src_mask, n_heads: int, *, training=False,
+                    rng=None):
+    """One pre-norm encoder layer (self-attn + FFN sublayers, each with
+    residual dropout). Routes to the fused whole-layer kernel under
+    training on TPU; falls back to the per-sublayer path."""
+    if (TRAIN_LAYER_KERNEL and training and rng is not None
+            and jax.default_backend() == "tpu"):
+        from ..ops.layer_train import enc_layer_kernel_ok, fused_enc_layer
+
+        d = x.shape[-1]
+        f = lp["ffn"]["w1"]["w"].shape[1]
+        if enc_layer_kernel_ok(n_heads, d, f, x.shape[1]):
+            sp = lp["self"]
+            wqkv = jnp.concatenate([sp["q"]["w"], sp["k"]["w"],
+                                    sp["v"]["w"]], axis=1)
+            bqkv = jnp.concatenate([sp["q"]["b"], sp["k"]["b"],
+                                    sp["v"]["b"]])
+            if src_mask is not None:
+                maskadd = jnp.where(src_mask, 0.0, -1e9).astype(jnp.float32)
+            else:
+                maskadd = jnp.zeros((x.shape[0], 1, x.shape[1]), jnp.float32)
+            seed = jax.random.randint(rng, (1,), 0, 2 ** 31 - 1,
+                                      dtype=jnp.int32)
+            return fused_enc_layer(
+                x, maskadd, seed, wqkv, bqkv, sp["o"]["w"], sp["o"]["b"],
+                lp["ffn"]["w1"]["w"], lp["ffn"]["w1"]["b"],
+                lp["ffn"]["w2"]["w"], lp["ffn"]["w2"]["b"],
+                lp["n1"]["scale"], lp["n1"]["offset"],
+                lp["n2"]["scale"], lp["n2"]["offset"],
+                n_heads, DROPOUT)
+    r = _rngs(rng, 4)
+    y = layer_norm(lp["n1"], x, training=training)
+    k = linear(lp["self"]["k"], y)
+    v = linear(lp["self"]["v"], y)
+    x = x + dropout(r[0], mha_apply(lp["self"], y, k, v, src_mask,
+                                    n_heads, training=training,
+                                    rng=r[1]),
+                    DROPOUT, training)
+    y = layer_norm(lp["n2"], x, training=training)
+    x = x + dropout(r[2], ffn_apply(lp["ffn"], y, training=training,
+                                    rng=r[3]),
+                    DROPOUT, training)
+    return x
 
 
 def ffn_init(rng, d_model: int, d_ff: int) -> dict:
@@ -291,23 +361,15 @@ class TransformerModel(CaptionDecoder):
             src_mask = feats.att_masks[:, None, :] > 0  # [B, 1, N]
         ri = 1
         for lp in params["enc"]:
-            y = layer_norm(lp["n1"], x)
-            k = linear(lp["self"]["k"], y)
-            v = linear(lp["self"]["v"], y)
-            x = x + dropout(r[ri], mha_apply(lp["self"], y, k, v, src_mask,
-                                             self.num_heads, training=training,
-                                             rng=r[ri + 1]),
-                            DROPOUT, training)
-            y = layer_norm(lp["n2"], x)
-            # rng for ffn_apply's INTERNAL dropout (reference
-            # PositionwiseFeedForward w1->relu->dropout->w2) — it was
-            # silently dead while called with rng=None (round-3 review)
-            x = x + dropout(r[ri + 2],
-                            ffn_apply(lp["ffn"], y, training=training,
-                                      rng=r[ri + 3]),
-                            DROPOUT, training)
+            # whole layer (self-attn + FFN sublayers, each with its residual
+            # dropout, plus the FFN-internal dropout — reference
+            # PositionwiseFeedForward w1->relu->dropout->w2); routed to the
+            # fused whole-layer kernel under training on TPU
+            x = enc_layer_apply(lp, x, src_mask, self.num_heads,
+                                training=training, rng=r[ri])
             ri += 4
-        return layer_norm(params["enc_norm"], x), src_mask
+        return layer_norm(params["enc_norm"], x,
+                          training=training), src_mask
 
     # ---- parallel teacher forcing ----
     def forward(self, params, feats: Features, seq, *, training: bool = False,
@@ -333,25 +395,25 @@ class TransformerModel(CaptionDecoder):
         tgt_mask = jnp.logical_and(pad_ok[:, None, :], causal[None])  # [B, T, T]
         ri = 2
         for lp in params["dec"]:
-            y = layer_norm(lp["n1"], x)
+            y = layer_norm(lp["n1"], x, training=training)
             k = linear(lp["self"]["k"], y)
             v = linear(lp["self"]["v"], y)
             x = x + dropout(r[ri], mha_apply(lp["self"], y, k, v, tgt_mask,
                                              self.num_heads, training=training,
                                              rng=r[ri + 1]), DROPOUT, training)
-            y = layer_norm(lp["n2"], x)
+            y = layer_norm(lp["n2"], x, training=training)
             mk = linear(lp["src"]["k"], memory)
             mv = linear(lp["src"]["v"], memory)
             x = x + dropout(r[ri + 2], mha_apply(lp["src"], y, mk, mv, src_mask,
                                                  self.num_heads, training=training,
                                                  rng=r[ri + 3]), DROPOUT, training)
-            y = layer_norm(lp["n3"], x)
+            y = layer_norm(lp["n3"], x, training=training)
             x = x + dropout(r[ri + 4],
                             ffn_apply(lp["ffn"], y, training=training,
                                       rng=r[ri + 5]),
                             DROPOUT, training)
             ri += 6
-        x = layer_norm(params["dec_norm"], x)
+        x = layer_norm(params["dec_norm"], x, training=training)
         logits = linear(params["generator"], x)
         return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
