@@ -31,6 +31,13 @@ stateless splitmix32 hash stream (a DIFFERENT stream than
 jax.random.bernoulli — stochastic regularization carries no parity
 contract), deterministic per (seed, element, site, head) and regenerated
 exactly in the backward. Parity + gradient tests: tests/test_layer_train.py.
+
+Rejected variant (tools/perf/ab_layer_bb.py): blocking bb batch elements
+per grid step to amortize per-step fixed cost was A/B'd in-process at the
+protocol batch (50x16, 6 layers) and came out NET-ZERO — 43.8k tokens/s
+both ways; the per-grid-step overhead is already hidden behind the
+accumulator read-modify-write, and the unrolled multi-element body costs
+what it saves. Keep the one-element grid.
 """
 
 from __future__ import annotations
