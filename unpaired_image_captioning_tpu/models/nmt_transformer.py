@@ -304,12 +304,14 @@ class TransformerNMTModel:
             t = state["t"]
             x = (p["tgt_embed"][it] * math.sqrt(d)
                  + positional_encoding(T, d)[t].astype(memory.dtype))
-            # cache_mode on-chip A/B: "window" at bi=2 wins (1,675
-            # sents/s) — its single-buffered DMA scratch frees VMEM for a
-            # second image per block, halving grid steps and doubling the
-            # MXU M rows; "full" 1,563 (bi=1), "window" at bi=1 1,425 (the
-            # output-DMA waits serialize without the bi win), "entries"
-            # 1,267 (XLA copies the cache around the caller-side DUS).
+            # cache_mode on-chip A/B: "window" at bi=2 wins (1,790
+            # sents/s with the write-back DMA wait deferred two grid steps
+            # by parity double-buffering; 1,675 with inline waits) — its
+            # small window scratch frees VMEM for a second image per block,
+            # halving grid steps and doubling the MXU M rows; "full" 1,563
+            # (bi=1), "window" at bi=1 1,425 (inline output-DMA waits
+            # serialize without the bi win), "entries" 1,267 (XLA copies
+            # the cache around the caller-side DUS).
             # t is uniform across rows (onmt beam — window's requirement)
             x, k_all, v_all, attn = decoder_stack_step(
                 x, t, c["cross_k"], c["cross_v"], c["src_mask"],

@@ -41,12 +41,13 @@ import os
 
 VMEM_BUDGET = int(os.environ.get("UIC_TFD_VMEM_BUDGET",
                                  str(12 * 1024 * 1024)))
-# Window cache mode single-buffers its small DMA scratch instead of
+# Window cache mode keeps only a tiny 8-slot DMA scratch instead of
 # double-buffering full cache output blocks, so the same physical 16 MB
 # fits a larger estimate — and the bigger bi halves the grid steps AND
 # doubles the matmul M rows (the kernel is MXU-row-padding-bound at beam
 # 15: M=kb·bi vs the 128-row systolic array). v5e A/B at the NMT shape:
-# bi=1 1,563 sents/s -> bi=2 1,675 (tools/perf/prof_nmt_transformer.py).
+# bi=1 1,563 sents/s -> bi=2 1,675 -> 1,790 with the write-back wait
+# deferred by parity double-buffering (tools/perf/prof_nmt_transformer.py).
 WINDOW_VMEM_BUDGET = int(os.environ.get("UIC_TFD_WINDOW_VMEM_BUDGET",
                                         str(14 * 1024 * 1024)))
 
@@ -297,7 +298,7 @@ def _stack_kernel(x0_ref, t_ref, ck_ref, cv_ref, mask_ref, k_in_ref,
     attn_ref = rest[n_w + 3] if want_attn else None
     scrs = rest[n_w + n_out:n_w + n_out + n_w]
     if cache_mode == "window":
-        kwin_scr, vwin_scr, wsem = rest[-4:-1]
+        kwin_scr, vwin_scr, wsem_in, wsem_out = rest[-5:-1]
         sem = rest[-1]
     else:
         sem = rest[-1]
@@ -305,15 +306,46 @@ def _stack_kernel(x0_ref, t_ref, ck_ref, cv_ref, mask_ref, k_in_ref,
     i = pl.program_id(1)
 
     if cache_mode == "window":
+        # The window scratch is double-buffered by grid-step PARITY so the
+        # write-back DMA issued at step s is waited only at step s+2 (when
+        # its buffer is next reused) instead of inline — the serialized
+        # per-grid-step output-DMA waits were the remaining dispatch cost of
+        # window mode (bi=1 measured BELOW full mode because of them).
+        s_idx = l * pl.num_programs(1) + i
+        par = s_idx % 2
+        last = (pl.num_programs(0) * pl.num_programs(1) - 1) - s_idx == 0
+
+        def _out_cp(p_, i_, scr_k, scr_v):
+            # descriptor for the output copy issued at a step with block
+            # index i_ and parity p_ (shape-identical for wait purposes)
+            k = pltpu.make_async_copy(
+                scr_k.at[p_], ko_ref.at[pl.ds(i_ * bi, bi), :, l,
+                                        pl.ds((ts_ref[0] // 8) * 8, 8)],
+                wsem_out.at[p_, 0])
+            v = pltpu.make_async_copy(
+                scr_v.at[p_], vo_ref.at[pl.ds(i_ * bi, bi), :, l,
+                                        pl.ds((ts_ref[0] // 8) * 8, 8)],
+                wsem_out.at[p_, 1])
+            return k, v
+
         # prefetch the 8-aligned cache window holding slot t (overlaps the
         # layer math below); tv is uniform across rows (onmt beam, no
         # diverse groups)
         tv = ts_ref[0]
         tv8 = (tv // 8) * 8
+
+        @pl.when(s_idx >= 2)
+        def _drain_same_parity():
+            ko_cp, vo_cp = _out_cp(par, i, kwin_scr, vwin_scr)
+            ko_cp.wait()
+            vo_cp.wait()
+
         kwin_cp = pltpu.make_async_copy(
-            k_in_ref.at[:, :, 0, pl.ds(tv8, 8), :], kwin_scr, wsem.at[0])
+            k_in_ref.at[:, :, 0, pl.ds(tv8, 8), :], kwin_scr.at[par],
+            wsem_in.at[0])
         vwin_cp = pltpu.make_async_copy(
-            v_in_ref.at[:, :, 0, pl.ds(tv8, 8), :], vwin_scr, wsem.at[1])
+            v_in_ref.at[:, :, 0, pl.ds(tv8, 8), :], vwin_scr.at[par],
+            wsem_in.at[1])
         kwin_cp.start()
         vwin_cp.start()
 
@@ -347,25 +379,35 @@ def _stack_kernel(x0_ref, t_ref, ck_ref, cv_ref, mask_ref, k_in_ref,
         # cache back out — ~half the kernel's HBM traffic — DMA back only
         # the 8-aligned window around slot t with the new entry inserted.
         # (A bare 1-slot write is Mosaic-illegal: T-slices must be
-        # 8-aligned in SHAPE; /tmp window-DMA probe r4.)
+        # 8-aligned in SHAPE; /tmp window-DMA probe r4.) The write-back is
+        # NOT waited here — the wait for this parity's buffer happens two
+        # grid steps later (or in the drain below on the last two steps).
         kwin_cp.wait()
         vwin_cp.wait()
         rowi = jax.lax.broadcasted_iota(jnp.int32, (bi, kb, 8, d), 2)
         off = tv - tv8
-        kwin_scr[:] = jnp.where(rowi == off, k_t.reshape(bi, kb, 1, d),
-                                kwin_scr[:])
-        vwin_scr[:] = jnp.where(rowi == off, v_t.reshape(bi, kb, 1, d),
-                                vwin_scr[:])
-        kw_out = pltpu.make_async_copy(
-            kwin_scr, ko_ref.at[pl.ds(i * bi, bi), :, l, pl.ds(tv8, 8)],
-            wsem.at[0])
-        vw_out = pltpu.make_async_copy(
-            vwin_scr, vo_ref.at[pl.ds(i * bi, bi), :, l, pl.ds(tv8, 8)],
-            wsem.at[1])
+        kwin_scr[par] = jnp.where(rowi == off, k_t.reshape(bi, kb, 1, d),
+                                  kwin_scr[par])
+        vwin_scr[par] = jnp.where(rowi == off, v_t.reshape(bi, kb, 1, d),
+                                  vwin_scr[par])
+        kw_out, vw_out = _out_cp(par, i, kwin_scr, vwin_scr)
         kw_out.start()
         vw_out.start()
-        kw_out.wait()
-        vw_out.wait()
+
+        @pl.when(last)
+        def _drain_all():
+            # final grid step: both parities may have in-flight write-backs
+            # (this step's own + the previous step's) — drain before the
+            # program completes
+            ks, vs = _out_cp(par, i, kwin_scr, vwin_scr)
+            ks.wait()
+            vs.wait()
+
+            @pl.when(s_idx >= 1)
+            def _other():
+                ko_cp, vo_cp = _out_cp(1 - par, i, kwin_scr, vwin_scr)
+                ko_cp.wait()
+                vo_cp.wait()
     elif cache_mode == "entries":
         # only the NEW position-t entries leave the kernel ([1, bi, kb, d]
         # per layer); the caller folds them into its carried cache with a
@@ -390,8 +432,9 @@ def _pick_bi_stack(b: int, kb: int, S: int, d: int, T: int, dff: int,
     weights = (3 * d * d + d * d + d * d + d * d + 2 * d * dff) * itemsize
     fixed = weights + b * kb * d * itemsize
     # out-side cache VMEM per image block: full [*,T,d] blocks, tiny
-    # [*,1,d] entry blocks, or the single-buffered 8-slot window scratch
-    cache_T_out = {"full": 2 * T, "entries": 2, "window": 8}[cache_mode]
+    # [*,1,d] entry blocks, or the parity-double-buffered 8-slot window
+    # scratch (2 buffers so the write-back DMA wait defers two grid steps)
+    cache_T_out = {"full": 2 * T, "entries": 2, "window": 16}[cache_mode]
     budget = WINDOW_VMEM_BUDGET if cache_mode == "window" else VMEM_BUDGET
     for bi in range(b, 0, -1):
         if b % bi:
@@ -525,9 +568,10 @@ def decoder_stack_step(x, t, ck_all, cv_all, src_mask, cache_k, cache_v,
             dimension_semantics=("arbitrary", "arbitrary")),
         scratch_shapes=[pltpu.VMEM(wstack[k].shape[1:], wstack[k].dtype)
                         for k in _WKEYS]
-        + ([pltpu.VMEM((bi, kb, 8, d), cache_k.dtype),
-            pltpu.VMEM((bi, kb, 8, d), cache_v.dtype),
-            pltpu.SemaphoreType.DMA((2,))]
+        + ([pltpu.VMEM((2, bi, kb, 8, d), cache_k.dtype),
+            pltpu.VMEM((2, bi, kb, 8, d), cache_v.dtype),
+            pltpu.SemaphoreType.DMA((2,)),        # input window copies
+            pltpu.SemaphoreType.DMA((2, 2))]      # out copies [parity, k/v]
            if cache_mode == "window" else [])
         + [pltpu.SemaphoreType.DMA((len(_WKEYS),))],
         cost_estimate=pl.CostEstimate(

@@ -106,7 +106,18 @@ def load_pytree(path: str, template: Any, shardings: Any = None) -> Any:
         return jax.make_array_from_callback(host.shape, s,
                                             lambda idx: host[idx])
 
-    return jax.tree.map(place, restored, shardings)
+    # Match shardings to restored leaves BY PATH rather than zipping
+    # structures: the shardings tree may have empty subtrees where the
+    # checkpoint carries data (e.g. a lazily-built optimizer slot that is
+    # None in this Trainer's template) — those leaves restore with default
+    # placement instead of crashing the whole load.
+    import jax.tree_util as jtu
+    sh_by_path = {jtu.keystr(p): s
+                  for p, s in jtu.tree_flatten_with_path(shardings)[0]}
+    return jtu.tree_map_with_path(
+        lambda p, x: place(x, sh_by_path.get(jtu.keystr(p),
+                                             DEFAULT_PLACEMENT)),
+        restored)
 
 
 def save_json(path: str, obj: Any) -> None:
