@@ -248,3 +248,251 @@ def test_denseatt_diverse_beam_vs_reference_source(dense_pair):
             np.testing.assert_array_equal(
                 seqs[b, k], beam["seq"].numpy(), err_msg=f"b={b} k={k}")
             np.testing.assert_allclose(scores[b, k], beam["p"], atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# NMT: the reference's OWN NMT_Models.py translateBatch (+ onmt fork Beam)
+# ---------------------------------------------------------------------------
+# The beam-15 NMT parity in tests/test_beam_convert_parity.py runs against a
+# torch TRANSCRIPTION (TorchNMT + onmt_host_translate). Here the reference
+# side is the reference's own code: NMT_Models.py Encoder/Decoder/NMTModel/
+# RNNDecoderState (:75-471) exec'd together with the vendored OpenNMT fork's
+# Constants/Util/GlobalAttention/StackedRNN/Gate/Beam, wired through real
+# sys.modules entries so the sources' own `import onmt` / `from onmt.modules
+# import ...` statements resolve to the reference code. torch-0.3 compat
+# shims (no model logic altered):
+#   - Variable -> tensor identity accepting the removed `volatile` kwarg,
+#     with isinstance(tensor, Variable) true (RNNDecoderState._resetAll:458
+#     and the `assert isinstance(state, RNNDecoderState)` path depend on it);
+#   - Beam.py:26 `torch.cuda if cuda else torch` -> torch (device placement
+#     only — translateBatch:342 constructs Beam(beamSize, True));
+#   - Beam.py:78 `bestScoresId / numWords` was LongTensor floor division on
+#     torch 0.3 — pinned with torch.div(..., rounding_mode='floor');
+#   - GlobalAttention.py:139 masked_fill_ with a same-numel-but-not-
+#     broadcastable [beam, batch, S] mask over [beam*batch, S] scores was
+#     legal on torch 0.3 — pinned with an explicit reshape;
+#   - activations Sparsemax/Constrained* are import-surface stubs (only the
+#     softmax transform is constructed under attn_transform='softmax').
+
+NFORK = Path("/root/reference/pivot_based_eccv2018/misc/OpenNMT-py-dalegebit/onmt")
+NSV, NTV, NNE, NNH = 19, 17, 12, 16
+
+
+class _VariableMeta(type):
+    def __instancecheck__(cls, obj):
+        return isinstance(obj, torch.Tensor)
+
+
+class _Variable(metaclass=_VariableMeta):
+    """torch-0.3 Variable: identity on tensors, isinstance == Tensor."""
+
+    def __new__(cls, data, volatile=False, requires_grad=False):
+        return data
+
+
+def _exec_shimmed(path, ns, strip=(), subs=()):
+    src = Path(path).read_text()
+    for s in strip:
+        assert s in src, f"shim target {s!r} not found in {path}"
+        src = src.replace(s, "")
+    for old, new in subs:
+        assert old in src, f"shim target {old!r} not found in {path}"
+        src = src.replace(old, new)
+    exec(compile(src, str(path), "exec"), ns)
+    return ns
+
+
+@pytest.fixture(scope="module")
+def nmt_ref_ns():
+    import torch.nn as nn
+
+    names = ("onmt", "onmt.Constants", "onmt.modules", "onmt.modules.Util",
+             "onmt.modules.activations", "onmt.modules.GlobalAttention",
+             "onmt.modules.Gate", "evaluation")
+    saved = {k: sys.modules.get(k) for k in names}
+    try:
+        const_ns = _exec_shimmed(NFORK / "Constants.py", {})
+        mod_const = types.ModuleType("onmt.Constants")
+        mod_const.__dict__.update(const_ns)
+        mod_onmt = types.ModuleType("onmt")
+        mod_onmt.Constants = mod_const
+        mod_modules = types.ModuleType("onmt.modules")
+        mod_onmt.modules = mod_modules
+
+        util_ns = _exec_shimmed(NFORK / "modules/Util.py", {})
+        mod_util = types.ModuleType("onmt.modules.Util")
+        mod_util.__dict__.update(util_ns)
+        for k in ("aeq", "Bottle", "BottleLinear"):
+            setattr(mod_modules, k, util_ns[k])
+
+        mod_act = types.ModuleType("onmt.modules.activations")
+        mod_act.Softmax = nn.Softmax
+        for name in ("Sparsemax", "ConstrainedSoftmax",
+                     "ConstrainedSparsemax"):
+            setattr(mod_act, name, type(name, (nn.Module,), {}))
+
+        sys.modules["onmt"] = mod_onmt
+        sys.modules["onmt.Constants"] = mod_const
+        sys.modules["onmt.modules"] = mod_modules
+        sys.modules["onmt.modules.Util"] = mod_util
+        sys.modules["onmt.modules.activations"] = mod_act
+
+        ga_ns = _exec_shimmed(
+            NFORK / "modules/GlobalAttention.py", {},
+            strip=("from torch.autograd import Variable\n",),
+            subs=(("attn.data.masked_fill_(self.mask, -float('inf'))",
+                   "attn.data.masked_fill_("
+                   "self.mask.reshape(attn.size()), -float('inf'))"),))
+        ga_ns["Variable"] = _Variable
+        mod_modules.GlobalAttention = ga_ns["GlobalAttention"]
+        mod_ga = types.ModuleType("onmt.modules.GlobalAttention")
+        mod_ga.__dict__.update(ga_ns)
+        sys.modules["onmt.modules.GlobalAttention"] = mod_ga
+
+        srnn_ns = _exec_shimmed(NFORK / "modules/StackedRNN.py", {})
+        mod_modules.StackedLSTM = srnn_ns["StackedLSTM"]
+        mod_modules.StackedGRU = srnn_ns["StackedGRU"]
+
+        gate_ns = _exec_shimmed(NFORK / "modules/Gate.py", {})
+        mod_gate = types.ModuleType("onmt.modules.Gate")
+        mod_gate.__dict__.update(gate_ns)
+        sys.modules["onmt.modules.Gate"] = mod_gate
+
+        beam_ns = _exec_shimmed(
+            NFORK / "Beam.py", {},
+            subs=(("self.tt = torch.cuda if cuda else torch",
+                   "self.tt = torch"),
+                  ("prevK = bestScoresId / numWords",
+                   "prevK = torch.div(bestScoresId, numWords,"
+                   " rounding_mode='floor')")))
+        mod_onmt.Beam = beam_ns["Beam"]
+
+        sys.modules["evaluation"] = types.ModuleType("evaluation")
+
+        nmt_ns = _exec_shimmed(
+            REF / "NMT_Models.py", {},
+            strip=("from torch.autograd import Variable\n",))
+        nmt_ns["Variable"] = _Variable
+        yield nmt_ns
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+class _TinyDict:
+    def __init__(self, n):
+        self._n = n
+
+    def size(self):
+        return self._n
+
+    def align(self, other):
+        return None
+
+
+def _nmt_opt(**kw):
+    base = dict(
+        position_encoding=False, word_vec_size=NNE, dropout=0.0,
+        layers=1, brnn=True, rnn_size=NNH, rnn_type="LSTM",
+        encoder_layer="rnn", decoder_layer="rnn",
+        fertility=2, predict_fertility=False, supervised_fertility=None,
+        guided_fertility=None, coverage_attn=False, exhaustion_loss=False,
+        input_feed=1, context_gate=None, attention_type="dotprod",
+        attn_transform="softmax", c_attn=0.0, copy_attn=False, batch_size=4)
+    base.update(kw)
+    return types.SimpleNamespace(**base)
+
+
+def _build_ref_nmt(nmt_ref_ns, torch_seed, layers, eos_bias):
+    import torch.nn as nn
+
+    torch.manual_seed(torch_seed)
+    opt = _nmt_opt(layers=layers)
+    enc = nmt_ref_ns["Encoder"](opt, _TinyDict(NSV))
+    dec = nmt_ref_ns["Decoder"](opt, _TinyDict(NTV))
+    model = nmt_ref_ns["NMTModel"](opt, enc, dec, _TinyDict(NSV),
+                                   _TinyDict(NTV))
+    # the reference attaches the generator externally
+    # (train.py make_generator-style Sequential(Linear, LogSoftmax))
+    model.generator = nn.Sequential(nn.Linear(NNH, NTV),
+                                    nn.LogSoftmax(dim=-1))
+    with torch.no_grad():
+        # sharpen the random model so beams terminate + diversify: larger
+        # weight variance, EOS (id 3) biased up
+        for p in model.parameters():
+            p.mul_(3.0)
+        model.generator[0].bias[3] += eos_bias
+    return model.eval()
+
+
+def _ref_translate(model, ids):
+    """Run the reference's own translateBatch (:322-395) on one sentence;
+    returns (top hyp tokens, its score, per-step attention argmaxes —
+    buildTargetTokens' UNK-replacement inputs, :312-320)."""
+    src = torch.from_numpy(ids.astype(np.int64)).view(len(ids), 1, 1)
+    batch = types.SimpleNamespace(src=src, batchSize=1)
+    with torch.no_grad():
+        allHyp, allScores, allAttn, _ = model.translateBatch(batch)
+    hyp = [int(t) for t in allHyp[0][0]]
+    am = [int(a.argmax()) for a in allAttn[0][0]]
+    return hyp, float(allScores[0][0]), am
+
+
+def _compare_nmt(model, layers, lens, src_seed, max_len):
+    from unpaired_image_captioning_tpu.models.convert import convert_nmt_model
+    from unpaired_image_captioning_tpu.models.nmt import NMTModel as OurNMT
+
+    state = _state_np(model)
+    params = convert_nmt_model(state, layers=layers, brnn=True)
+    ours = OurNMT(src_vocab_size=NSV, tgt_vocab_size=NTV,
+                  word_vec_size=NNE, rnn_size=NNH, layers=layers,
+                  dropout=0.0, src_emb_mlp=True)
+    rng = np.random.RandomState(src_seed)
+    Bn, S = len(lens), max(lens)
+    src_np = np.zeros((Bn, S), np.int32)
+    for b, ln in enumerate(lens):
+        src_np[b, :ln] = rng.randint(4, NSV, size=ln)
+    res = ours.translate_batch(params, jnp.asarray(src_np),
+                               jnp.asarray(np.array(lens, np.int32)),
+                               beam_size=15, max_len=max_len)
+    seqs, scores = np.asarray(res.seq), np.asarray(res.scores)
+    aux = np.asarray(res.aux)
+    nontrivial = 0
+    for b in range(Bn):
+        hyp, score, am = _ref_translate(model, src_np[b, :lens[b]])
+        assert len(hyp) <= max_len
+        nontrivial += len(hyp) > 1
+        L = len(hyp)
+        np.testing.assert_array_equal(
+            seqs[b, 0, :L], hyp, err_msg=f"b={b} tokens")
+        np.testing.assert_array_equal(
+            aux[b, 0, :L], am, err_msg=f"b={b} attn argmax")
+        # f32 accumulation drift through the sharpened (saturating) model:
+        # observed <=8e-3 over 100 steps; tokens/attn above are exact
+        np.testing.assert_allclose(scores[b, 0], score, atol=5e-2,
+                                   err_msg=f"b={b} score")
+    # fixture sanity: at least one beam ran multiple steps
+    assert nontrivial >= 1
+
+
+def test_nmt_beam15_vs_reference_source(nmt_ref_ns):
+    """BiLSTM encoder + input-feed decoder + dotprod GlobalAttention,
+    beam 15 through the reference's own translateBatch / onmt.Beam
+    (NMT_Models.py:322-395, Beam.py:50-117). Includes a hypothesis that
+    runs to the full 100-step cap (:348)."""
+    model = _build_ref_nmt(nmt_ref_ns, torch_seed=7, layers=1, eos_bias=2.0)
+    _compare_nmt(model, layers=1, lens=[6, 4, 5], src_seed=5, max_len=100)
+
+
+def test_nmt_beam15_vs_reference_source_2layer(nmt_ref_ns):
+    """2-layer variant: StackedLSTM depth-2 decoder + 2-layer BiLSTM
+    encoder with _fix_enc_hidden's direction concat (NMT_Models.py:284-287).
+    The seed-14 top hypothesis contains mid-sequence EOS tokens from
+    non-top rows that kept extending — the Beam.py:50-88 semantics the
+    transcription test paraphrases, here exercised by the original."""
+    model = _build_ref_nmt(nmt_ref_ns, torch_seed=14, layers=2,
+                           eos_bias=1.2)
+    _compare_nmt(model, layers=2, lens=[6, 4], src_seed=5, max_len=24)
