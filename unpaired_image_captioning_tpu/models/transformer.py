@@ -202,6 +202,63 @@ def enc_layer_apply(lp, x, src_mask, n_heads: int, *, training=False,
     return x
 
 
+def dec_layer_apply(lp, x, mk, mv, tgt_mask, src_mask, n_heads: int, *,
+                    training=False, rngs=None):
+    """One pre-norm decoder layer (self-attn + cross-attn + FFN sublayers,
+    each with residual dropout). mk/mv are the memory K/V projections,
+    computed OUTSIDE (their batched matmuls already run at floor in XLA and
+    d(memory)/dW_src flow through ordinary autodiff). Routes to the fused
+    whole-layer kernel under training on TPU; falls back to the
+    per-sublayer path (identical rng consumption to the round-3 loop)."""
+    if (TRAIN_LAYER_KERNEL and training and rngs is not None
+            and rngs[0] is not None and jax.default_backend() == "tpu"):
+        from ..ops.layer_train import dec_layer_kernel_ok, fused_dec_layer
+
+        d = x.shape[-1]
+        f = lp["ffn"]["w1"]["w"].shape[1]
+        if dec_layer_kernel_ok(n_heads, d, f, x.shape[1], mk.shape[1]):
+            sp = lp["self"]
+            wqkv = jnp.concatenate([sp["q"]["w"], sp["k"]["w"],
+                                    sp["v"]["w"]], axis=1)
+            bqkv = jnp.concatenate([sp["q"]["b"], sp["k"]["b"],
+                                    sp["v"]["b"]])
+            tm = jnp.where(tgt_mask, 0.0, -1e9).astype(jnp.float32)
+            if src_mask is not None:
+                sm = jnp.where(src_mask, 0.0, -1e9).astype(jnp.float32)
+            else:
+                sm = jnp.zeros((x.shape[0], 1, mk.shape[1]), jnp.float32)
+            seed = jax.random.randint(rngs[0], (1,), 0, 2 ** 31 - 1,
+                                      dtype=jnp.int32)
+            seeds = jnp.concatenate([seed, seed ^ 0x55555555])
+            return fused_dec_layer(
+                x, mk, mv, tm, sm, seeds, wqkv, bqkv,
+                sp["o"]["w"], sp["o"]["b"],
+                lp["src"]["q"]["w"], lp["src"]["q"]["b"],
+                lp["src"]["o"]["w"], lp["src"]["o"]["b"],
+                lp["ffn"]["w1"]["w"], lp["ffn"]["w1"]["b"],
+                lp["ffn"]["w2"]["w"], lp["ffn"]["w2"]["b"],
+                lp["n1"]["scale"], lp["n1"]["offset"],
+                lp["n2"]["scale"], lp["n2"]["offset"],
+                lp["n3"]["scale"], lp["n3"]["offset"],
+                n_heads, DROPOUT)
+    r = rngs if rngs is not None else [None] * 6
+    y = layer_norm(lp["n1"], x, training=training)
+    k = linear(lp["self"]["k"], y)
+    v = linear(lp["self"]["v"], y)
+    x = x + dropout(r[0], mha_apply(lp["self"], y, k, v, tgt_mask,
+                                    n_heads, training=training,
+                                    rng=r[1]), DROPOUT, training)
+    y = layer_norm(lp["n2"], x, training=training)
+    x = x + dropout(r[2], mha_apply(lp["src"], y, mk, mv, src_mask,
+                                    n_heads, training=training,
+                                    rng=r[3]), DROPOUT, training)
+    y = layer_norm(lp["n3"], x, training=training)
+    x = x + dropout(r[4],
+                    ffn_apply(lp["ffn"], y, training=training, rng=r[5]),
+                    DROPOUT, training)
+    return x
+
+
 def ffn_init(rng, d_model: int, d_ff: int) -> dict:
     k1, k2 = jax.random.split(rng)
     return {"w1": linear_init(k1, d_model, d_ff), "w2": linear_init(k2, d_ff, d_model)}
@@ -395,23 +452,12 @@ class TransformerModel(CaptionDecoder):
         tgt_mask = jnp.logical_and(pad_ok[:, None, :], causal[None])  # [B, T, T]
         ri = 2
         for lp in params["dec"]:
-            y = layer_norm(lp["n1"], x, training=training)
-            k = linear(lp["self"]["k"], y)
-            v = linear(lp["self"]["v"], y)
-            x = x + dropout(r[ri], mha_apply(lp["self"], y, k, v, tgt_mask,
-                                             self.num_heads, training=training,
-                                             rng=r[ri + 1]), DROPOUT, training)
-            y = layer_norm(lp["n2"], x, training=training)
             mk = linear(lp["src"]["k"], memory)
             mv = linear(lp["src"]["v"], memory)
-            x = x + dropout(r[ri + 2], mha_apply(lp["src"], y, mk, mv, src_mask,
-                                                 self.num_heads, training=training,
-                                                 rng=r[ri + 3]), DROPOUT, training)
-            y = layer_norm(lp["n3"], x, training=training)
-            x = x + dropout(r[ri + 4],
-                            ffn_apply(lp["ffn"], y, training=training,
-                                      rng=r[ri + 5]),
-                            DROPOUT, training)
+            x = dec_layer_apply(lp, x, mk, mv, tgt_mask, src_mask,
+                                self.num_heads, training=training,
+                                rngs=r[ri:ri + 6] if rng is not None
+                                else None)
             ri += 6
         x = layer_norm(params["dec_norm"], x, training=training)
         logits = linear(params["generator"], x)

@@ -140,6 +140,9 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, m_ref, g_ref,
         if keep is not None:
             dattn = jnp.where(keep, dattn / (1.0 - rate), 0.0)
         ds = p * (dattn - jnp.sum(dattn * p, axis=-1, keepdims=True))
+        # exact where-replace VJP: masked scores get ZERO gradient (for a
+        # fully-masked row p is uniform and ds would otherwise be nonzero)
+        ds = jnp.where(maskadd < 0, 0.0, ds)
         dsd = (ds / math.sqrt(dh)).astype(dtype)
         dqs.append(_dot(dsd, kh, 1, 0).astype(dtype))     # [T, dh]
         dks.append(_dot(dsd, qh, 0, 0).astype(dtype))     # [S, dh]
