@@ -152,16 +152,30 @@ def mha_apply(p, q_in, k, v, mask, n_heads: int, *, training=False, rng=None):
 # layer's LN1/packed-QKV/attention/O/residual/LN2/FFN/residual — forward and
 # backward — runs as one Pallas program per batch element instead of ~20 XLA
 # ops (fwd) + ~25 (bwd). Subsumes TRAIN_MHA_KERNEL and TRAIN_LN_KERNEL for
-# the encoder; those still serve the decoder sublayers. A/B + motivation:
-# BASELINE.md round-4 transformer training section.
+# the layers it covers. A/B + motivation: BASELINE.md round-4 transformer
+# training section (encoder) + round-5 decoder A/B.
 TRAIN_LAYER_KERNEL = True
+# The DECODER fused layer was A/B'd on v5e (tools/perf/ab_dec_layer.py,
+# round 5) and REJECTED: protocol XE batch 50 41,159 tokens/s with it off
+# vs 39,756 on; batch 400 51,849 vs 49,944. Unlike the encoder (T=196
+# rows), the caption decoder's 17-token rows leave the MXU starved inside
+# the one-element-per-program kernel while XLA batches the same matmuls
+# across B — the per-op overheads the kernel removes are smaller than the
+# batching it gives up. Kept OFF by default, parity+grad-tested
+# (tests/test_layer_train.py) for re-A/B on other shapes/compilers.
+TRAIN_DEC_LAYER_KERNEL = False
 
 
 def enc_layer_apply(lp, x, src_mask, n_heads: int, *, training=False,
-                    rng=None):
+                    rngs=None):
     """One pre-norm encoder layer (self-attn + FFN sublayers, each with
     residual dropout). Routes to the fused whole-layer kernel under
-    training on TPU; falls back to the per-sublayer path."""
+    training on TPU; falls back to the per-sublayer path. rngs is the
+    caller's presplit 4-key slice, consumed directly by the fallback —
+    the same stream as the round-3 per-sublayer loop (ADVICE r4) — with
+    rngs[0] seeding the fused kernel's hash stream (unchanged from the
+    round-4 routing, which derived the seed from the first key)."""
+    rng = rngs[0] if rngs is not None else None
     if (TRAIN_LAYER_KERNEL and training and rng is not None
             and jax.default_backend() == "tpu"):
         from ..ops.layer_train import enc_layer_kernel_ok, fused_enc_layer
@@ -187,7 +201,7 @@ def enc_layer_apply(lp, x, src_mask, n_heads: int, *, training=False,
                 lp["n1"]["scale"], lp["n1"]["offset"],
                 lp["n2"]["scale"], lp["n2"]["offset"],
                 n_heads, DROPOUT)
-    r = _rngs(rng, 4)
+    r = rngs if rngs is not None else [None] * 4
     y = layer_norm(lp["n1"], x, training=training)
     k = linear(lp["self"]["k"], y)
     v = linear(lp["self"]["v"], y)
@@ -210,7 +224,8 @@ def dec_layer_apply(lp, x, mk, mv, tgt_mask, src_mask, n_heads: int, *,
     d(memory)/dW_src flow through ordinary autodiff). Routes to the fused
     whole-layer kernel under training on TPU; falls back to the
     per-sublayer path (identical rng consumption to the round-3 loop)."""
-    if (TRAIN_LAYER_KERNEL and training and rngs is not None
+    if (TRAIN_LAYER_KERNEL and TRAIN_DEC_LAYER_KERNEL and training
+            and rngs is not None
             and rngs[0] is not None and jax.default_backend() == "tpu"):
         from ..ops.layer_train import dec_layer_kernel_ok, fused_dec_layer
 
@@ -423,7 +438,9 @@ class TransformerModel(CaptionDecoder):
             # PositionwiseFeedForward w1->relu->dropout->w2); routed to the
             # fused whole-layer kernel under training on TPU
             x = enc_layer_apply(lp, x, src_mask, self.num_heads,
-                                training=training, rng=r[ri])
+                                training=training,
+                                rngs=r[ri:ri + 4] if rng is not None
+                                else None)
             ri += 4
         return layer_norm(params["enc_norm"], x,
                           training=training), src_mask

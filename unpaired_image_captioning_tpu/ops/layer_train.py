@@ -312,12 +312,12 @@ def _layer_fwd(x, maskadd, seed, wqkv, bqkv, wo, bo, w1, b1, w2, b2,
         interpret=interpret,
     )(seed, x, maskadd, wqkv, *vec[:1], wo, *vec[1:2], w1, *vec[2:3],
       w2, *vec[3:4], *vec[4:])
-    return out, (x, maskadd, seed, wqkv, bqkv, wo, w1, b1, w2,
+    return out, (x, maskadd, seed, wqkv, bqkv, wo, bo, w1, b1, w2, b2,
                  l1s, l1b, l2s, l2b, x2)
 
 
 def _layer_bwd(n_heads, rate, interpret, res, g):
-    (x, maskadd, seed, wqkv, bqkv, wo, w1, b1, w2,
+    (x, maskadd, seed, wqkv, bqkv, wo, bo, w1, b1, w2, b2,
      l1s, l1b, l2s, l2b, x2) = res
     b, t, d = x.shape
     f = w1.shape[1]
@@ -377,9 +377,12 @@ def _layer_bwd(n_heads, rate, interpret, res, g):
     def _w(gr, like):
         return gr.reshape(like.shape).astype(like.dtype)
 
+    # each bias cotangent is cast with its OWN primal as the template so a
+    # mixed-dtype param tree (f32 biases under bf16 activations) keeps f32
+    # gradients (ADVICE r4)
     return (dx, jnp.zeros_like(maskadd), jnp.zeros_like(seed),
-            _w(dwqkv, wqkv), _w(dbqkv, bqkv), _w(dwo, wo), _w(dbo, bqkv[:d]),
-            _w(dw1, w1), _w(db1, b1), _w(dw2, w2), _w(db2, bqkv[:d]),
+            _w(dwqkv, wqkv), _w(dbqkv, bqkv), _w(dwo, wo), _w(dbo, bo),
+            _w(dw1, w1), _w(db1, b1), _w(dw2, w2), _w(db2, b2),
             _w(dl1s, l1s), _w(dl1b, l1b), _w(dl2s, l2s), _w(dl2b, l2b))
 
 
@@ -389,13 +392,22 @@ fused_enc_layer.defvjp(_layer_fwd, _layer_bwd)
 def enc_layer_kernel_ok(n_heads: int, d: int, f: int, t: int) -> bool:
     """Routing guard: head width must be a sublane-clean lane slice, and
     the resident weights + f32 weight-grad accumulators + per-element
-    temporaries must fit the ~16 MB VMEM budget."""
+    temporaries must fit the ~16 MB VMEM budget. The temps estimate
+    includes the backward attention half's per-head saved tensors held
+    live across the head loop — n_heads [T,T] f32 softmax probs + keep
+    masks plus the q/k/v head slices and their gradient lists (ADVICE
+    r4) — so an over-budget shape falls back to the XLA path cleanly
+    instead of failing the Mosaic compile. Cap calibrated so the
+    measured-working protocol shape (8 heads, d=512, f=512, T=196,
+    ~14.1 MiB by this estimate) keeps routing."""
     if d % n_heads or (d // n_heads) % 8 or d % 128 or f % 128:
         return False
     weights = (3 * d * d + d * d + 2 * d * f) * 2          # bf16 resident
     grads = (3 * d * d + d * d) * 4                        # attn-half f32
     temps = t * (3 * d + 2 * f + 4 * d) * 4 + t * t * 4
-    return weights + grads + temps <= 12 * 1024 * 1024 and t <= 512
+    saved = n_heads * t * t * 8 + 3 * t * d * 4            # bwd head loop
+    return (weights + grads + temps + saved <= 15 * 1024 * 1024
+            and t <= 512)
 
 
 # ---------------------------------------------------------------------------
@@ -572,13 +584,14 @@ def _dec_fwd(x, mk, mv, tgt_maskadd, src_maskadd, seeds,
       wqkv, vecs[0], wo, vecs[1], wq, vecs[2], wo2, vecs[3],
       w1, vecs[4], w2, vecs[5], *vecs[6:])
     return out, (x, mk, mv, tgt_maskadd, src_maskadd, seeds, wqkv, bqkv,
-                 wo, wq, bq, wo2, w1, b1, w2, l1s, l1b, l2s, l2b, l3s, l3b,
-                 x2, x3)
+                 wo, bo, wq, bq, wo2, bo2, w1, b1, w2, b2,
+                 l1s, l1b, l2s, l2b, l3s, l3b, x2, x3)
 
 
 def _dec_bwd(n_heads, rate, interpret, res, g):
-    (x, mk, mv, tgt_maskadd, src_maskadd, seeds, wqkv, bqkv, wo, wq, bq,
-     wo2, w1, b1, w2, l1s, l1b, l2s, l2b, l3s, l3b, x2, x3) = res
+    (x, mk, mv, tgt_maskadd, src_maskadd, seeds, wqkv, bqkv, wo, bo, wq, bq,
+     wo2, bo2, w1, b1, w2, b2,
+     l1s, l1b, l2s, l2b, l3s, l3b, x2, x3) = res
     b, t, d = x.shape
     s = mk.shape[1]
     f = w1.shape[1]
@@ -671,12 +684,14 @@ def _dec_bwd(n_heads, rate, interpret, res, g):
     def _w(gr, like):
         return gr.reshape(like.shape).astype(like.dtype)
 
-    zd = jnp.zeros((d,), x.dtype)
+    # bias cotangents cast with their OWN primals as templates (ADVICE r4):
+    # a mixed-dtype param tree (f32 biases under bf16 activations) keeps
+    # f32 gradients instead of silently downcasting
     return (dx, dmk, dmv, jnp.zeros_like(tgt_maskadd),
             jnp.zeros_like(src_maskadd), jnp.zeros_like(seeds),
-            _w(dwqkv, wqkv), _w(dbqkv, bqkv), _w(dwo, wo), _w(dbo, zd),
-            _w(dwq, wq), _w(dbq, bq), _w(dwo2, wo2), _w(dbo2, zd),
-            _w(dw1, w1), _w(db1, b1), _w(dw2, w2), _w(db2, zd),
+            _w(dwqkv, wqkv), _w(dbqkv, bqkv), _w(dwo, wo), _w(dbo, bo),
+            _w(dwq, wq), _w(dbq, bq), _w(dwo2, wo2), _w(dbo2, bo2),
+            _w(dw1, w1), _w(db1, b1), _w(dw2, w2), _w(db2, b2),
             _w(dl1s, l1s), _w(dl1b, l1b), _w(dl2s, l2s), _w(dl2b, l2b),
             _w(dl3s, l3s), _w(dl3b, l3b))
 
@@ -689,12 +704,17 @@ def dec_layer_kernel_ok(n_heads: int, d: int, f: int, t: int,
     """Routing guard for the decoder kernel: lane-clean head slices and
     the forward's resident weights (6 matrices) + the largest backward
     half's f32 grad accumulators + per-element temporaries (incl. the
-    [S, d] mk/mv blocks and [T, S] cross score tiles) within budget."""
+    [S, d] mk/mv blocks and [T, S] cross score tiles) within budget.
+    The temps estimate includes the backward halves' per-head saved
+    tensors (self [T,T] + cross [T,S] f32 probs + keep masks, q/k/v head
+    slices + gradient lists, ADVICE r4) so over-budget shapes fall back
+    to XLA cleanly instead of failing the Mosaic compile."""
     if d % n_heads or (d // n_heads) % 8 or d % 128 or f % 128:
         return False
     weights = (3 * d * d + 3 * d * d + 2 * d * f) * 2      # bf16 resident
     grads = (3 * d * d + d * d) * 4                        # attn-half f32
     temps = (t * (3 * d + 2 * f + 6 * d) * 4 + t * t * 4 + t * s * 4
              + 4 * s * d * 2)
-    return (weights + grads + temps <= 12 * 1024 * 1024
+    saved = n_heads * (t * t + t * s) * 8 + 3 * t * d * 4  # bwd head loops
+    return (weights + grads + temps + saved <= 15 * 1024 * 1024
             and t <= 512 and s <= 512)

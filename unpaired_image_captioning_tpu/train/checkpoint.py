@@ -114,10 +114,28 @@ def load_pytree(path: str, template: Any, shardings: Any = None) -> Any:
     import jax.tree_util as jtu
     sh_by_path = {jtu.keystr(p): s
                   for p, s in jtu.tree_flatten_with_path(shardings)[0]}
-    return jtu.tree_map_with_path(
-        lambda p, x: place(x, sh_by_path.get(jtu.keystr(p),
-                                             DEFAULT_PLACEMENT)),
-        restored)
+    consumed: set = set()
+
+    def _place_at(p, x):
+        key = jtu.keystr(p)
+        if key in sh_by_path:
+            consumed.add(key)
+        return place(x, sh_by_path.get(key, DEFAULT_PLACEMENT))
+
+    out = jtu.tree_map_with_path(_place_at, restored)
+    # A keystr mismatch (e.g. a future structure rename) must not silently
+    # degrade a mesh-sharded leaf to default placement: any REAL sharding
+    # entry that never matched a restored path is a bug in the caller's
+    # shardings tree (ADVICE r4).
+    orphaned = [k for k, s in sh_by_path.items()
+                if k not in consumed
+                and s is not None and not isinstance(s, _DefaultPlacement)]
+    if orphaned:
+        raise ValueError(
+            "load_pytree: shardings entries matched no restored leaf "
+            f"(structure mismatch?): {sorted(orphaned)[:8]}"
+            + ("..." if len(orphaned) > 8 else ""))
+    return out
 
 
 def save_json(path: str, obj: Any) -> None:
