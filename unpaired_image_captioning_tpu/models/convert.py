@@ -160,6 +160,38 @@ def convert_stack_dense_model(state: Dict[str, np.ndarray],
     }
 
 
+def convert_stackcap_model(state: Dict[str, np.ndarray]) -> dict:
+    """Reference StackCapModel checkpoint -> our stackcap params.
+
+    Layout (StackCapModel.py): AttModel embeddings (:56-77) plus the
+    bias-free attri_embed (:62-64); StackCapCore (:256-293) with three
+    maxout LSTMCores (i2h/h2h), att1/att2 additive attentions, and
+    fusion1/fusion2 Sequential(Linear, ReLU, Dropout) heads — like
+    DenseAtt's core but with NO emb2 and with attribute injection."""
+    core = {
+        "lstm0": _fused_cell_from_i2h_h2h(state, "core.lstm0.i2h",
+                                          "core.lstm0.h2h"),
+        "lstm1": _fused_cell_from_i2h_h2h(state, "core.lstm1.i2h",
+                                          "core.lstm1.h2h"),
+        "lstm2": _fused_cell_from_i2h_h2h(state, "core.lstm2.i2h",
+                                          "core.lstm2.h2h"),
+        "att1": _attention(state, "core.att1"),
+        "att2": _attention(state, "core.att2"),
+        "fusion1": _linear(state, "core.fusion1.0"),
+        "fusion2": _linear(state, "core.fusion2.0"),
+    }
+    return {
+        "embed": jnp.asarray(_t(state, "embed.0.weight")),
+        "fc_embed": _linear(state, "fc_embed.0"),
+        "attri_embed": {"w": jnp.asarray(
+            _t(state, "attri_embed.0.weight").T)},
+        **_att_embed_parts(state),
+        "ctx2att": _linear(state, "ctx2att"),
+        "logit": [_linear(state, "logit")],
+        "core": core,
+    }
+
+
 def convert_transformer_model(state: Dict[str, np.ndarray], *,
                               num_layers: int) -> dict:
     """Reference TransformerModel checkpoint -> our transformer params.
@@ -203,6 +235,53 @@ def convert_transformer_model(state: Dict[str, np.ndarray], *,
                          "n1": ln(d + ".sublayer.0.norm"),
                          "n2": ln(d + ".sublayer.1.norm"),
                          "n3": ln(d + ".sublayer.2.norm")})
+    return p
+
+
+def convert_fork_transformer(state: Dict[str, np.ndarray], *,
+                             num_layers: int) -> dict:
+    """OpenNMT-fork transformer checkpoint -> ForkTransformerNMT params.
+
+    Layout (the fork's `-encoder_layer transformer -decoder_layer
+    transformer` model, onmt/Models.py:197-200,324-327): `encoder.` /
+    `decoder.` prefixes, per-layer `transformer.{i}` with
+    `self_attn`/`context_attn` MultiHeadedAttention (biasless
+    linear_{query,keys,values} + its own layer_norm, MultiHeadedAttn.py:
+    19-25) and `feed_forward` (w_1/w_2 + its own layer_norm,
+    Transformer.py:32-45); the decoder's unused GlobalAttention keys are
+    ignored. Generator: external Sequential(Linear, LogSoftmax)."""
+    def ln(prefix):
+        return {"a_2": jnp.asarray(_t(state, prefix + ".a_2")),
+                "b_2": jnp.asarray(_t(state, prefix + ".b_2"))}
+
+    def mha(prefix):
+        return {"q": {"w": jnp.asarray(
+                    _t(state, prefix + ".linear_query.weight").T)},
+                "k": {"w": jnp.asarray(
+                    _t(state, prefix + ".linear_keys.weight").T)},
+                "v": {"w": jnp.asarray(
+                    _t(state, prefix + ".linear_values.weight").T)},
+                "ln": ln(prefix + ".layer_norm")}
+
+    def ffn(prefix):
+        return {"w1": _linear(state, prefix + ".w_1"),
+                "w2": _linear(state, prefix + ".w_2"),
+                "ln": ln(prefix + ".layer_norm")}
+
+    p = {"src_embed": jnp.asarray(
+             _t(state, "encoder.embeddings.word_lut.weight")),
+         "tgt_embed": jnp.asarray(
+             _t(state, "decoder.embeddings.word_lut.weight")),
+         "generator": _linear(state, "generator.0"),
+         "enc": [], "dec": []}
+    for i in range(num_layers):
+        e = f"encoder.transformer.{i}"
+        p["enc"].append({"self": mha(e + ".self_attn"),
+                         "ffn": ffn(e + ".feed_forward")})
+        d = f"decoder.transformer.{i}"
+        p["dec"].append({"self": mha(d + ".self_attn"),
+                         "src": mha(d + ".context_attn"),
+                         "ffn": ffn(d + ".feed_forward")})
     return p
 
 
@@ -251,6 +330,7 @@ CONVERTERS = {
     "att2in2": convert_att2in2_model,
     "stackatt": lambda s: convert_stack_dense_model(s, dense=False),
     "denseatt": lambda s: convert_stack_dense_model(s, dense=True),
+    "stackcap": convert_stackcap_model,
     "transformer": lambda s, num_layers=6: convert_transformer_model(
         s, num_layers=num_layers),
 }
