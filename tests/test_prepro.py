@@ -163,3 +163,62 @@ def test_nmt_preprocess_cli(tmp_path, capsys):
         srcb = f["src"][...]
     # subword vocab is closed over the corpus -> full coverage
     assert not (srcb == 1).any()
+
+
+def test_nmt_preprocess_word_features(tmp_path, capsys):
+    """onmt `word￨feat` token syntax (fork onmt/IO.py:67-91 extractFeatures
+    + readSrcLine/readTgtLine): word dicts see only the word part, per-column
+    feature dicts are built unpruned, feature streams are encoded aligned
+    with the words (src plain, tgt with the BOS/EOS offset), and the arrays
+    survive the shuffle+length-sort together."""
+    import h5py
+
+    from unpaired_image_captioning_tpu.cli import preprocess
+    from unpaired_image_captioning_tpu.vocab import (Dict, extract_features,
+                                                     make_nmt_dict)
+
+    # unit: extractFeatures semantics incl. the empty-word skip
+    words, feats, n = extract_features(
+        ["the￨DT", "cat￨NN", "￨X", "sat￨VBD"])
+    assert words == ["the", "cat", "sat"]
+    assert n == 1 and feats == [["DT", "NN", "VBD"]]
+    assert extract_features(["plain", "tokens"])[2] == 0
+
+    rng = np.random.RandomState(1)
+    pos = ["DT", "NN", "VBD", "IN"]
+    src_lines, tgt_lines = [], []
+    for _ in range(20):
+        k = rng.randint(1, 6)
+        toks = [f"w{rng.randint(0, 12)}￨{pos[rng.randint(0, 4)]}"
+                for _ in range(k)]
+        src_lines.append(" ".join(toks))
+        tgt_lines.append(" ".join(f"t{rng.randint(0, 9)}"
+                                  for _ in range(rng.randint(1, 6))))
+    (tmp_path / "f.src").write_text("\n".join(src_lines), encoding="utf-8")
+    (tmp_path / "f.tgt").write_text("\n".join(tgt_lines), encoding="utf-8")
+
+    save = str(tmp_path / "feat")
+    preprocess.main(["-train_src", str(tmp_path / "f.src"),
+                     "-train_tgt", str(tmp_path / "f.tgt"),
+                     "-save_data", save, "-shuffle", "1"])
+    out = capsys.readouterr().out
+    assert "word features: src 1 / tgt 0 columns" in out
+
+    fdict = Dict.from_state_dict(
+        json.load(open(save + ".src_feature_0.dict.json")))
+    base = make_nmt_dict().size()
+    assert fdict.size() == base + 4  # the 4 POS tags after the specials
+    sdict = Dict.from_state_dict(json.load(open(save + ".src_dict.json")))
+    assert sdict.lookup("DT") is None  # features never leak into word dict
+    assert sdict.lookup("w0") is not None
+
+    with h5py.File(save + ".train.h5") as f:
+        src, feat = f["src"][...], f["src_feat_0"][...]
+        assert "tgt_feat_0" not in f
+    # feature rows align with word rows: same pad profile, feature id is
+    # the dict id of the POS tag attached to that word slot
+    assert feat.shape == src.shape
+    assert ((feat > 0) == (src > 0)).all()
+    # every encoded feature is one of the 4 tags (never UNK: dict unpruned)
+    ids = {fdict.lookup(t) for t in pos}
+    assert set(np.unique(feat[feat > 0])) <= ids

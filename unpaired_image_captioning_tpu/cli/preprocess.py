@@ -20,7 +20,7 @@ import numpy as np
 
 
 def build_dict(path: str, size: int, lower: bool = False, vocab_file: str = ""):
-    from ..vocab import Dict, make_nmt_dict
+    from ..vocab import Dict, extract_features, make_nmt_dict
 
     if vocab_file:
         with open(vocab_file, encoding="utf-8") as f:
@@ -30,7 +30,10 @@ def build_dict(path: str, size: int, lower: bool = False, vocab_file: str = ""):
     d = make_nmt_dict(lower=lower)
     with open(path, encoding="utf-8") as f:
         for line in f:
-            for w in line.split():
+            # word￨feat tokens contribute only their word part here
+            # (onmt fork preprocess.py makeVocabulary :73-103)
+            words, _, _ = extract_features(line.split())
+            for w in words:
                 d.add(w)
     orig = d.size()
     d = d.prune(size)
@@ -38,12 +41,43 @@ def build_dict(path: str, size: int, lower: bool = False, vocab_file: str = ""):
     return d
 
 
+def build_feature_dicts(path: str, lower: bool = False):
+    """Per-column feature Dicts for a `word￨feat1￨feat2...` corpus
+    (onmt fork preprocess.py:77-103 — one Dict per column, the 4 specials
+    pre-registered, never pruned). Returns [] when the corpus carries no
+    features."""
+    from ..vocab import extract_features, make_nmt_dict
+
+    dicts = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            _, features, n = extract_features(line.split())
+            if n == 0:
+                continue
+            if not dicts:
+                dicts = [make_nmt_dict(lower=lower) for _ in range(n)]
+            assert len(dicts) == n, \
+                "all sentences must have the same number of features"
+            for j, col in enumerate(features):
+                for w in col:
+                    dicts[j].add(w)
+    return dicts
+
+
 def encode_corpus(src_path, tgt_path, src_dict, tgt_dict, *, src_seq_length,
                   tgt_seq_length, shuffle=0, seed=3435, src_bpe=None,
-                  tgt_bpe=None, report_name=""):
+                  tgt_bpe=None, report_name="", src_feature_dicts=(),
+                  tgt_feature_dicts=()):
     from .. import constants as C
+    from ..vocab import extract_features
 
+    if src_feature_dicts or tgt_feature_dicts:
+        # BPE resegmentation would desync word↔feature alignment
+        assert src_bpe is None and tgt_bpe is None, \
+            "word features (￨) and BPE are mutually exclusive"
     srcs, tgts = [], []
+    src_feats = [[] for _ in src_feature_dicts]
+    tgt_feats = [[] for _ in tgt_feature_dicts]
     kept = dropped = 0
     with open(src_path, encoding="utf-8") as fs, \
             open(tgt_path, encoding="utf-8") as ft:
@@ -52,7 +86,11 @@ def encode_corpus(src_path, tgt_path, src_dict, tgt_dict, *, src_seq_length,
                 sline = src_bpe.segment(sline)
             if tgt_bpe is not None:
                 tline = tgt_bpe.segment(tline)
-            s, t = sline.split(), tline.split()
+            # onmt fork IO.py readSrcLine/readTgtLine (:24-65): strip the
+            # ￨-features off every token; encode feature columns with their
+            # own dicts (UNK only — no BOS/EOS even on the target side)
+            s, sfeat, _ = extract_features(sline.split())
+            t, tfeat, _ = extract_features(tline.split())
             if (not s or not t or len(s) > src_seq_length
                     or len(t) > tgt_seq_length):
                 dropped += 1
@@ -61,20 +99,27 @@ def encode_corpus(src_path, tgt_path, src_dict, tgt_dict, *, src_seq_length,
             tgts.append(tgt_dict.convert_to_idx(t, C.UNK_WORD,
                                                 bos_word=C.BOS_WORD,
                                                 eos_word=C.EOS_WORD))
+            for j, fd in enumerate(src_feature_dicts):
+                src_feats[j].append(fd.convert_to_idx(sfeat[j], C.UNK_WORD))
+            for j, fd in enumerate(tgt_feature_dicts):
+                tgt_feats[j].append(fd.convert_to_idx(tfeat[j], C.UNK_WORD))
             kept += 1
     print(f"kept {kept}, dropped {dropped} (length filter)")
 
     # -shuffle then stable sort by src length (prepro_aic_nmt.py:276-296 —
     # the shuffle decides the order WITHIN each length bucket, which is what
     # the bucketed batcher then consumes)
-    if shuffle:
-        rng = np.random.RandomState(seed)
-        perm = rng.permutation(kept)
+    def reorder(perm):
+        nonlocal srcs, tgts, src_feats, tgt_feats
         srcs = [srcs[i] for i in perm]
         tgts = [tgts[i] for i in perm]
-    order = np.argsort([len(s) for s in srcs], kind="stable")
-    srcs = [srcs[i] for i in order]
-    tgts = [tgts[i] for i in order]
+        src_feats = [[col[i] for i in perm] for col in src_feats]
+        tgt_feats = [[col[i] for i in perm] for col in tgt_feats]
+
+    if shuffle:
+        rng = np.random.RandomState(seed)
+        reorder(rng.permutation(kept))
+    reorder(np.argsort([len(s) for s in srcs], kind="stable"))
 
     # dict-coverage report: fraction of corpus tokens that map to a real
     # dict entry (not UNK) — the number that predicts UNK-replacement load
@@ -94,14 +139,19 @@ def encode_corpus(src_path, tgt_path, src_dict, tgt_dict, *, src_seq_length,
               f"src {coverage(srcs, False):.2f}% / "
               f"tgt {coverage(tgts, True):.2f}% non-UNK tokens")
 
-    max_s = max(len(x) for x in srcs)
-    max_t = max(len(x) for x in tgts)
-    src = np.zeros((kept, max_s), np.int32)
-    tgt = np.zeros((kept, max_t), np.int32)
-    for i, (s, t) in enumerate(zip(srcs, tgts)):
-        src[i, :len(s)] = s
-        tgt[i, :len(t)] = t
-    return src, tgt
+    def pad(rows, width):
+        out = np.zeros((kept, width), np.int32)
+        for i, r in enumerate(rows):
+            out[i, :len(r)] = r
+        return out
+
+    src = pad(srcs, max(len(x) for x in srcs))
+    tgt = pad(tgts, max(len(x) for x in tgts))
+    if not (src_feature_dicts or tgt_feature_dicts):
+        return src, tgt
+    sf = [pad(col, src.shape[1]) for col in src_feats]
+    tf = [pad(col, tgt.shape[1]) for col in tgt_feats]
+    return src, tgt, sf, tf
 
 
 def _maybe_bpe(corpus_path, merges, codes_path, save_codes_path):
@@ -176,29 +226,53 @@ def main(argv=None):
     if os.path.exists(tmp_seg):
         os.remove(tmp_seg)
 
-    src, tgt = encode_corpus(args.train_src, args.train_tgt, src_dict,
-                             tgt_dict, src_seq_length=args.src_seq_length,
-                             tgt_seq_length=args.tgt_seq_length,
-                             shuffle=args.shuffle, seed=args.seed,
-                             src_bpe=src_bpe, tgt_bpe=tgt_bpe,
-                             report_name="train")
-    with h5py.File(args.save_data + ".train.h5", "w") as f:
-        f["src"] = src
-        f["tgt"] = tgt
+    # word￨feature corpora (onmt fork IO.py:67-91): per-column feature
+    # dicts + encoded feature streams ride along when present
+    src_fdicts = [] if src_bpe else build_feature_dicts(args.train_src,
+                                                        args.lower)
+    tgt_fdicts = [] if tgt_bpe else build_feature_dicts(args.train_tgt,
+                                                        args.lower)
+    if src_fdicts or tgt_fdicts:
+        print(f"word features: src {len(src_fdicts)} / "
+              f"tgt {len(tgt_fdicts)} columns")
+
+    def write(h5_path, enc):
+        with h5py.File(h5_path, "w") as f:
+            f["src"], f["tgt"] = enc[0], enc[1]
+            if len(enc) == 4:
+                for j, a in enumerate(enc[2]):
+                    f[f"src_feat_{j}"] = a
+                for j, a in enumerate(enc[3]):
+                    f[f"tgt_feat_{j}"] = a
+
+    enc = encode_corpus(args.train_src, args.train_tgt, src_dict,
+                        tgt_dict, src_seq_length=args.src_seq_length,
+                        tgt_seq_length=args.tgt_seq_length,
+                        shuffle=args.shuffle, seed=args.seed,
+                        src_bpe=src_bpe, tgt_bpe=tgt_bpe,
+                        report_name="train",
+                        src_feature_dicts=src_fdicts,
+                        tgt_feature_dicts=tgt_fdicts)
+    write(args.save_data + ".train.h5", enc)
     if args.valid_src and args.valid_tgt:
-        vsrc, vtgt = encode_corpus(args.valid_src, args.valid_tgt, src_dict,
-                                   tgt_dict,
-                                   src_seq_length=args.src_seq_length,
-                                   tgt_seq_length=args.tgt_seq_length,
-                                   src_bpe=src_bpe, tgt_bpe=tgt_bpe,
-                                   report_name="valid")
-        with h5py.File(args.save_data + ".valid.h5", "w") as f:
-            f["src"] = vsrc
-            f["tgt"] = vtgt
+        venc = encode_corpus(args.valid_src, args.valid_tgt, src_dict,
+                             tgt_dict,
+                             src_seq_length=args.src_seq_length,
+                             tgt_seq_length=args.tgt_seq_length,
+                             src_bpe=src_bpe, tgt_bpe=tgt_bpe,
+                             report_name="valid",
+                             src_feature_dicts=src_fdicts,
+                             tgt_feature_dicts=tgt_fdicts)
+        write(args.save_data + ".valid.h5", venc)
     with open(args.save_data + ".src_dict.json", "w") as f:
         json.dump(src_dict.state_dict(), f)
     with open(args.save_data + ".tgt_dict.json", "w") as f:
         json.dump(tgt_dict.state_dict(), f)
+    for name, fdicts in (("src", src_fdicts), ("tgt", tgt_fdicts)):
+        for j, fd in enumerate(fdicts):
+            with open(f"{args.save_data}.{name}_feature_{j}.dict.json",
+                      "w") as f:
+                json.dump(fd.state_dict(), f)
     print("wrote", args.save_data + ".{train,valid}.h5 + dicts")
 
 
