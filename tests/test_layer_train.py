@@ -372,11 +372,13 @@ def test_dec_kernel_ok_guard():
         dec_layer_kernel_ok)
 
     assert dec_layer_kernel_ok(8, 512, 512, 17, 196)
-    # d_ff=2048 fits at short T (17x196 caption decode shapes and the NMT
-    # transformer's 50x50) under the round-5 recalibrated cap...
-    assert dec_layer_kernel_ok(8, 512, 2048, 17, 196)
-    assert dec_layer_kernel_ok(8, 512, 2048, 50, 50)
-    # ...but not at long T where the FFN temporaries blow the budget
+    # d_ff=2048 does NOT fit at any T: the FFN backward half's f32
+    # dW1/dW2 accumulators alone are 8.4 MB, and the chip confirmed the
+    # overflow (16.34M scoped-vmem OOM on the encoder kernel at t=16,
+    # round-5 NMT-transformer train A/B) — the guard must reject it so
+    # the model falls back to the XLA+mha_train path cleanly
+    assert not dec_layer_kernel_ok(8, 512, 2048, 17, 196)
+    assert not dec_layer_kernel_ok(8, 512, 2048, 50, 50)
     assert not dec_layer_kernel_ok(8, 512, 2048, 196, 196)
     assert not dec_layer_kernel_ok(8, 512, 512, 17, 4096)  # S too large
     assert not dec_layer_kernel_ok(12, 512, 512, 17, 196)  # d % heads

@@ -402,8 +402,16 @@ def enc_layer_kernel_ok(n_heads: int, d: int, f: int, t: int) -> bool:
     ~14.1 MiB by this estimate) keeps routing."""
     if d % n_heads or (d // n_heads) % 8 or d % 128 or f % 128:
         return False
+    # d_ff > d_model is out of the kernel's validated envelope: the FFN
+    # backward half's f32 dW1/dW2 accumulators are 2*d*f*4 bytes on top of
+    # the resident weights, and at d_ff=2048 the chip measured a 16.34M
+    # scoped-vmem OOM (round-5 NMT-transformer train A/B) while this
+    # estimate still predicted ~14.6M — the linear model undercounts the
+    # FFN half, so reject the regime instead of re-tuning the cap.
+    if f > d:
+        return False
     weights = (3 * d * d + d * d + 2 * d * f) * 2          # bf16 resident
-    grads = (3 * d * d + d * d) * 4                        # attn-half f32
+    grads = max((3 * d * d + d * d) * 4, 2 * d * f * 4)    # larger bwd half
     temps = t * (3 * d + 2 * f + 4 * d) * 4 + t * t * 4
     saved = n_heads * t * t * 8 + 3 * t * d * 4            # bwd head loop
     return (weights + grads + temps + saved <= 15 * 1024 * 1024
@@ -711,8 +719,10 @@ def dec_layer_kernel_ok(n_heads: int, d: int, f: int, t: int,
     to XLA cleanly instead of failing the Mosaic compile."""
     if d % n_heads or (d // n_heads) % 8 or d % 128 or f % 128:
         return False
+    if f > d:                      # same measured limit as the encoder
+        return False
     weights = (3 * d * d + 3 * d * d + 2 * d * f) * 2      # bf16 resident
-    grads = (3 * d * d + d * d) * 4                        # attn-half f32
+    grads = max((3 * d * d + d * d) * 4, 2 * d * f * 4)    # larger bwd half
     temps = (t * (3 * d + 2 * f + 6 * d) * 4 + t * t * 4 + t * s * 4
              + 4 * s * d * 2)
     saved = n_heads * (t * t + t * s) * 8 + 3 * t * d * 4  # bwd head loops
