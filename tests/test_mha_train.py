@@ -159,3 +159,8 @@ def test_kernel_ok_guard():
     assert mha_kernel_ok(2, 512, 196, 196)        # dh=256 fine too
     assert not mha_kernel_ok(8, 512, 1024, 2048)  # tile too large
     assert not mha_kernel_ok(7, 512, 196, 196)    # d % n_heads != 0
+    # small-tile floor (round 5): both dims tiny -> XLA wins, measured on
+    # the NMT transformer's 17x16 tiles (prof_train_nmt_transformer.py)
+    assert not mha_kernel_ok(8, 512, 17, 16)
+    assert not mha_kernel_ok(8, 512, 16, 16)
+    assert mha_kernel_ok(8, 512, 17, 196)         # caption cross: stays

@@ -26,9 +26,9 @@ import jax.numpy as jnp
 
 from .. import constants as C
 from .base import linear, linear_init
-from .transformer import (DROPOUT, ffn_apply, ffn_init, layer_norm,
-                          layer_norm_init, mha_apply, mha_init,
-                          positional_encoding)
+from .transformer import (DROPOUT, dec_layer_apply, enc_layer_apply,
+                          ffn_apply, ffn_init, layer_norm, layer_norm_init,
+                          mha_apply, mha_init, positional_encoding)
 from .base import dropout as _dropout
 
 
@@ -117,23 +117,23 @@ class TransformerNMTModel:
         return x + positional_encoding(5000, d)[offset].astype(x.dtype)
 
     def encode(self, params, src_ids, lengths, *, training=False, rng=None):
-        r = _rngs(rng, 1 + 3 * self.num_layers)
+        """Pre-norm encoder stack via the shared enc_layer_apply (same
+        sublayer appliers — and the same fused whole-layer train kernel
+        routing — as the caption transformer, models/transformer.py).
+        Round 5: this also brought the FFN-internal dropout back to
+        reference semantics on this route (it was silently rngless)."""
+        r = _rngs(rng, 1 + 4 * self.num_layers)
         x = self._embed(params["src_embed"], src_ids)
         x = _dropout(r[0], x, self.dropout, training)
         s = src_ids.shape[-1]
         src_mask = (jnp.arange(s)[None, :] < lengths[:, None])[:, None, :]
         ri = 1
         for lp in params["enc"]:
-            y = layer_norm(lp["n1"], x)
-            k = linear(lp["self"]["k"], y)
-            v = linear(lp["self"]["v"], y)
-            x = x + _dropout(r[ri], mha_apply(lp["self"], y, k, v, src_mask,
-                                              self.num_heads, training=training,
-                                              rng=r[ri + 1]), DROPOUT, training)
-            y = layer_norm(lp["n2"], x)
-            x = x + _dropout(r[ri + 2], ffn_apply(lp["ffn"], y, training=training),
-                             DROPOUT, training)
-            ri += 3
+            x = enc_layer_apply(lp, x, src_mask, self.num_heads,
+                                training=training,
+                                rngs=r[ri:ri + 4] if rng is not None
+                                else None)
+            ri += 4
         return layer_norm(params["enc_norm"], x), src_mask
 
     def generator_logits(self, params, output):
@@ -155,7 +155,7 @@ class TransformerNMTModel:
                 training=False, rng=None):
         """Parallel teacher forcing. Returns (decoder outputs [B, T-1, d],
         cross-attentions placeholder None) matching NMTModel.forward."""
-        r = _rngs(rng, 2 + 5 * self.num_layers)
+        r = _rngs(rng, 2 + 6 * self.num_layers)
         memory, src_mask = self.encode(params, src_ids, src_lengths,
                                        training=training, rng=r[0])
         tgt_in = tgt_ids[:, :-1]
@@ -167,23 +167,13 @@ class TransformerNMTModel:
         tgt_mask = jnp.logical_and(pad_ok[:, None, :], causal[None])
         ri = 2
         for lp in params["dec"]:
-            y = layer_norm(lp["n1"], x)
-            k = linear(lp["self"]["k"], y)
-            v = linear(lp["self"]["v"], y)
-            x = x + _dropout(r[ri], mha_apply(lp["self"], y, k, v, tgt_mask,
-                                              self.num_heads, training=training,
-                                              rng=r[ri + 1]), DROPOUT, training)
-            y = layer_norm(lp["n2"], x)
             mk = linear(lp["src"]["k"], memory)
             mv = linear(lp["src"]["v"], memory)
-            x = x + _dropout(r[ri + 2], mha_apply(lp["src"], y, mk, mv, src_mask,
-                                                  self.num_heads,
-                                                  training=training,
-                                                  rng=r[ri + 3]), DROPOUT, training)
-            y = layer_norm(lp["n3"], x)
-            x = x + _dropout(r[ri + 4], ffn_apply(lp["ffn"], y, training=training),
-                             DROPOUT, training)
-            ri += 5
+            x = dec_layer_apply(lp, x, mk, mv, tgt_mask, src_mask,
+                                self.num_heads, training=training,
+                                rngs=r[ri:ri + 6] if rng is not None
+                                else None)
+            ri += 6
         return layer_norm(params["dec_norm"], x), None
 
     def translate_batch(self, params, src_ids, src_lengths, *,

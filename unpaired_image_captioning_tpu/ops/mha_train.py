@@ -224,9 +224,18 @@ fused_mha_train.defvjp(_mha_fwd, _mha_bwd)
 def mha_kernel_ok(n_heads: int, d: int, t: int, s: int) -> bool:
     """Routing guard: one [T, S] f32 score tile (plus the [T|S, d] operand
     tiles) per head must fit VMEM comfortably; head width must be a
-    sublane-clean lane-slice."""
+    sublane-clean lane-slice.
+
+    Small-tile floor (round 5): when BOTH dims are tiny the per-program
+    overhead outweighs the fused-chain savings and XLA's batched-across-B
+    formulation wins — measured on the NMT transformer (17x16/16x16
+    tiles): pure XLA 1.2x faster than the kernel across five paired
+    orderings (tools/perf/prof_train_nmt_transformer.py). The caption
+    decoder's 17x196 cross tiles stay net-positive
+    (tools/perf/ab_dec_mha.py), so the cut is max(t, s) >= 64."""
     if d % n_heads:
         return False
     dh = d // n_heads
     tile = t * s * 4 + 6 * max(t, s) * d * 4
-    return dh % 8 == 0 and tile <= 8 * 1024 * 1024 and max(t, s) <= 1024
+    return (dh % 8 == 0 and tile <= 8 * 1024 * 1024
+            and 64 <= max(t, s) <= 1024)
