@@ -37,13 +37,13 @@ def _scan_ref(w, b, x, h0, c0, maxout):
 
     (_, _), (hs, cs) = jax.lax.scan(body, (h0, c0),
                                     jnp.swapaxes(x, 0, 1))
-    return jnp.swapaxes(hs, 0, 1), jnp.swapaxes(cs, 0, 1)
+    return hs, cs                                  # time-major [T, B, H]
 
 
 def _blocked(w, b, x, h0, c0, maxout):
     """The blocked formulation: i2h hoisted to one big matmul, h2h chain
     through the kernel."""
-    xc = (jnp.einsum("btd,dg->btg", x, w[:D]).astype(jnp.float32)
+    xc = (jnp.einsum("btd,dg->tbg", x, w[:D]).astype(jnp.float32)
           + b.astype(jnp.float32))
     return blocked_lstm_chain(xc, h0, c0, w[D:], maxout=maxout,
                               interpret=True)
@@ -67,8 +67,8 @@ def test_gradients_match_scan(maxout):
     # f32 everywhere isolates formulation error from bf16 rounding
     w, b, x, h0, c0 = _mk(maxout, dtype=jnp.float32, seed=1)
     r = np.random.RandomState(2)
-    ch = jnp.asarray(r.randn(B, T, H), jnp.float32)
-    cc = jnp.asarray(r.randn(B, T, H) * 0.3, jnp.float32)
+    ch = jnp.asarray(r.randn(T, B, H), jnp.float32)
+    cc = jnp.asarray(r.randn(T, B, H) * 0.3, jnp.float32)
 
     def loss_scan(w, b, x, h0, c0):
         hs, cs = _scan_ref(w, b, x, h0, c0, maxout)
@@ -89,7 +89,7 @@ def test_value_and_grad_finite_bf16():
     w, b, x, h0, c0 = _mk(True)
 
     def loss(w):
-        xc = (jnp.einsum("btd,dg->btg", x, w[:D]).astype(jnp.float32)
+        xc = (jnp.einsum("btd,dg->tbg", x, w[:D]).astype(jnp.float32)
               + b.astype(jnp.float32))
         hs, _ = blocked_lstm_chain(xc, h0, c0, w[D:], maxout=True,
                                    interpret=True)

@@ -59,7 +59,7 @@ def _loss_scan(w, b, x, h0, c0):
 
 
 def _loss_hoist(w, b, x, h0, c0):
-    xc = (jnp.einsum("btd,dg->btg", x, w[:D],
+    xc = (jnp.einsum("btd,dg->tbg", x, w[:D],
                      preferred_element_type=jnp.float32)
           + b.astype(jnp.float32))
     wh = w[D:]
@@ -71,12 +71,12 @@ def _loss_hoist(w, b, x, h0, c0):
                                        True)
         return (hn.astype(h.dtype), cn.astype(c.dtype)), hn.astype(h.dtype)
 
-    (_, _), hs = jax.lax.scan(body, (h0, c0), jnp.swapaxes(xc, 0, 1))
+    (_, _), hs = jax.lax.scan(body, (h0, c0), xc)
     return jnp.mean(hs.astype(jnp.float32) ** 2)
 
 
 def _loss_blocked(w, b, x, h0, c0):
-    xc = (jnp.einsum("btd,dg->btg", x, w[:D],
+    xc = (jnp.einsum("btd,dg->tbg", x, w[:D],
                      preferred_element_type=jnp.float32)
           + b.astype(jnp.float32))
     hs, _ = blocked_lstm_chain(xc, h0, c0, w[D:], maxout=True)

@@ -51,12 +51,14 @@ from .rnn import _lstm_elementwise
 
 def _chain_fwd_kernel(x_ref, h0_ref, c0_ref, w_ref, hs_ref, cs_ref,
                       gates_ref, h_scr, c_scr, *, hidden: int, maxout: bool):
+    # time-major layout ([T, B, *]): the blocked axis must lead so the
+    # trailing two block dims equal the array dims (Mosaic block rule)
     @pl.when(pl.program_id(0) == 0)
     def _init():
         h_scr[:] = h0_ref[:]
         c_scr[:] = c0_ref[:]
 
-    gates = (x_ref[:, 0, :].astype(jnp.float32)
+    gates = (x_ref[0].astype(jnp.float32)
              + jnp.dot(h_scr[:], w_ref[:],
                        preferred_element_type=jnp.float32))
     h_new, c_new = _lstm_elementwise(gates, c_scr[:].astype(jnp.float32),
@@ -65,20 +67,20 @@ def _chain_fwd_kernel(x_ref, h0_ref, c0_ref, w_ref, hs_ref, cs_ref,
     # carry dtype, so the next step's matmul consumes the cast value)
     h_scr[:] = h_new.astype(h_scr.dtype)
     c_scr[:] = c_new.astype(c_scr.dtype)
-    hs_ref[:, 0, :] = h_scr[:]
-    cs_ref[:, 0, :] = c_scr[:]
-    gates_ref[:, 0, :] = gates.astype(gates_ref.dtype)
+    hs_ref[0] = h_scr[:]
+    cs_ref[0] = c_scr[:]
+    gates_ref[0] = gates.astype(gates_ref.dtype)
 
 
 def _chain_fwd(x_contrib, h0, c0, w_h2h, *, maxout: bool, interpret: bool):
-    b, t, gh = x_contrib.shape
+    t, b, gh = x_contrib.shape
     hidden = h0.shape[-1]
     kern = functools.partial(_chain_fwd_kernel, hidden=hidden, maxout=maxout)
     return pl.pallas_call(
         kern,
         grid=(t,),
         in_specs=[
-            pl.BlockSpec((b, 1, gh), lambda i: (0, i, 0),
+            pl.BlockSpec((1, b, gh), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, hidden), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -88,20 +90,20 @@ def _chain_fwd(x_contrib, h0, c0, w_h2h, *, maxout: bool, interpret: bool):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((b, 1, hidden), lambda i: (0, i, 0),
+            pl.BlockSpec((1, b, hidden), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1, hidden), lambda i: (0, i, 0),
+            pl.BlockSpec((1, b, hidden), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1, gh), lambda i: (0, i, 0),
+            pl.BlockSpec((1, b, gh), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, t, hidden), h0.dtype),
-            jax.ShapeDtypeStruct((b, t, hidden), c0.dtype),
+            jax.ShapeDtypeStruct((t, b, hidden), h0.dtype),
+            jax.ShapeDtypeStruct((t, b, hidden), c0.dtype),
             # saved preactivation residuals follow the input precision:
             # bf16 under mixed-precision training (halves the bwd stream),
             # f32 when the caller computes in f32
-            jax.ShapeDtypeStruct((b, t, gh), x_contrib.dtype),
+            jax.ShapeDtypeStruct((t, b, gh), x_contrib.dtype),
         ),
         scratch_shapes=[pltpu.VMEM((b, hidden), h0.dtype),
                         pltpu.VMEM((b, hidden), c0.dtype)],
@@ -123,7 +125,7 @@ def _chain_bwd_kernel(gates_ref, cprev_ref, c_ref, dhs_ref, dcs_ref, wT_ref,
         dh_scr[:] = jnp.zeros_like(dh_scr)
         dc_scr[:] = jnp.zeros_like(dc_scr)
 
-    g = gates_ref[:, 0, :].astype(jnp.float32)
+    g = gates_ref[0].astype(jnp.float32)
     sig = jax.nn.sigmoid(g[:, : 3 * hidden])
     i_g = sig[:, :hidden]
     f_g = sig[:, hidden: 2 * hidden]
@@ -134,14 +136,14 @@ def _chain_bwd_kernel(gates_ref, cprev_ref, c_ref, dhs_ref, dcs_ref, wT_ref,
         in_t = jnp.maximum(m1, m2)
     else:
         in_t = jnp.tanh(g[:, 3 * hidden: 4 * hidden])
-    c_t = c_ref[:, 0, :].astype(jnp.float32)
-    c_prev = cprev_ref[:, 0, :].astype(jnp.float32)
+    c_t = c_ref[0].astype(jnp.float32)
+    c_prev = cprev_ref[0].astype(jnp.float32)
     th = jnp.tanh(c_t)
 
-    dh = dhs_ref[:, 0, :].astype(jnp.float32) + dh_scr[:]
+    dh = dhs_ref[0].astype(jnp.float32) + dh_scr[:]
     do = dh * th
     dct = (dh * o_g * (1.0 - th * th) + dc_scr[:]
-           + dcs_ref[:, 0, :].astype(jnp.float32))
+           + dcs_ref[0].astype(jnp.float32))
     dgi = dct * in_t * i_g * (1.0 - i_g)
     dgf = dct * c_prev * f_g * (1.0 - f_g)
     dgo = do * o_g * (1.0 - o_g)
@@ -152,7 +154,7 @@ def _chain_bwd_kernel(gates_ref, cprev_ref, c_ref, dhs_ref, dcs_ref, wT_ref,
     else:
         dtail = dm * (1.0 - in_t * in_t)
     dgates = jnp.concatenate([dgi, dgf, dgo, dtail], axis=-1)
-    dgates_ref[:, 0, :] = dgates
+    dgates_ref[0] = dgates
     dh_scr[:] = jnp.dot(dgates.astype(wT_ref.dtype), wT_ref[:],
                         preferred_element_type=jnp.float32)
     dc_scr[:] = dct * f_g
@@ -164,35 +166,35 @@ def _chain_bwd_kernel(gates_ref, cprev_ref, c_ref, dhs_ref, dcs_ref, wT_ref,
 
 def _chain_bwd_call(gates, cs_prev, cs, dhs, dcs, w_h2h_T, h_dtype, c_dtype,
                     *, maxout: bool, interpret: bool):
-    b, t, gh = gates.shape
+    t, b, gh = gates.shape
     hidden = cs.shape[-1]
     kern = functools.partial(_chain_bwd_kernel, hidden=hidden, maxout=maxout)
     rev = t - 1
 
     def _r(i):
-        return (0, rev - i, 0)
+        return (rev - i, 0, 0)
 
     return pl.pallas_call(
         kern,
         grid=(t,),
         in_specs=[
-            pl.BlockSpec((b, 1, gh), _r, memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1, hidden), _r, memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1, hidden), _r, memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1, hidden), _r, memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1, hidden), _r, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, gh), _r, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hidden), _r, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hidden), _r, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hidden), _r, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hidden), _r, memory_space=pltpu.VMEM),
             pl.BlockSpec((gh, hidden), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((b, 1, gh), _r, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, gh), _r, memory_space=pltpu.VMEM),
             pl.BlockSpec((b, hidden), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, hidden), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, t, gh), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, gh), jnp.float32),
             jax.ShapeDtypeStruct((b, hidden), h_dtype),
             jax.ShapeDtypeStruct((b, hidden), c_dtype),
         ),
@@ -222,13 +224,13 @@ def _make_chain(maxout: bool, interpret: bool):
     def bwd(res, cts):
         hs, cs, gates, h0, c0, w_h2h = res
         dhs, dcs = cts
-        cs_prev = jnp.concatenate([c0[:, None], cs[:, :-1]], axis=1)
-        hs_prev = jnp.concatenate([h0[:, None], hs[:, :-1]], axis=1)
+        cs_prev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
+        hs_prev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
         dgates, dh0, dc0 = _chain_bwd_call(
             gates, cs_prev, cs, dhs, dcs, w_h2h.T, h0.dtype, c0.dtype,
             maxout=maxout, interpret=interpret)
         dx_contrib = dgates
-        dw = jnp.einsum("bth,btg->hg",
+        dw = jnp.einsum("tbh,tbg->hg",
                         hs_prev.astype(jnp.float32), dgates
                         ).astype(w_h2h.dtype)
         return dx_contrib, dh0, dc0, dw
@@ -241,12 +243,18 @@ def blocked_lstm_chain(x_contrib, h0, c0, w_h2h, *, maxout: bool = True,
                        interpret: bool | None = None):
     """Run T LSTM steps with w_h2h VMEM-resident (see module docstring).
 
-    x_contrib: [B, T, G*H] f32 — precomputed ``xh_in @ w_i2h + b``.
+    TIME-MAJOR layout throughout ([T, B, *]) — the natural lax.scan
+    stacking order, and required by Mosaic's block rule (the trailing two
+    block dims must equal the array dims, so the per-step blocked axis
+    leads).
+
+    x_contrib: [T, B, G*H] — precomputed ``xh_in @ w_i2h + b`` (its dtype
+               sets the saved-residual precision: f32 exact, bf16 lean).
     h0, c0:    [B, H] (bf16 in training; per-step casts match a
                lstm_step_ref chain that casts h/c to the carry dtype
                each step, i.e. the production scan path).
     w_h2h:     [H, G*H] (the hidden rows of ops.rnn's fused weight).
-    Returns (hs [B, T, H], cs [B, T, H]). Differentiable via a blocked
+    Returns (hs [T, B, H], cs [T, B, H]). Differentiable via a blocked
     reverse-recurrence kernel; both h and c cotangents are honored.
     """
     if interpret is None:
