@@ -39,7 +39,8 @@ from unpaired_image_captioning_tpu import models
 from unpaired_image_captioning_tpu.config import Config
 from unpaired_image_captioning_tpu.models.base import Features
 from unpaired_image_captioning_tpu.models.convert import (
-    convert_fc_model, convert_stack_dense_model)
+    convert_att2in2_model, convert_fc_model, convert_stack_dense_model,
+    convert_topdown_model)
 
 REF = Path("/root/reference/pivot_based_eccv2018/models")
 
@@ -90,7 +91,10 @@ def ref_ns():
                         {"CaptionModel": cap["CaptionModel"],
                          "LSTMCore": fc["LSTMCore"]})
         yield {"FCModel_NMT": fcnmt["FCModel_NMT"],
-               "DenseAttModel": att["DenseAttModel"]}
+               "DenseAttModel": att["DenseAttModel"],
+               "TopDownModel": att["TopDownModel"],
+               "Att2in2Model": att["Att2in2Model"],
+               "StackAttModel": att["StackAttModel"]}
     finally:
         for k, v in saved.items():
             if v is None:
@@ -752,3 +756,72 @@ def test_nmt_beam15_vs_reference_source_2layer(nmt_ref_ns):
     model = _build_ref_nmt(nmt_ref_ns, torch_seed=14, layers=2,
                            eos_bias=1.2)
     _compare_nmt(model, layers=2, lens=[6, 4], src_seed=5, max_len=24)
+
+
+# ---------------------------------------------------------------------------
+# round 5: the remaining AttModel cores with converters — topdown, att2in2,
+# stackatt — pinned against the reference's OWN exec'd AttModel.py (the
+# same source object the fc/denseatt fixtures exec), closing the last
+# transcription-only caption families. Reference cores:
+# AttModel.py:421-456 (TopDownCore), :561-602 (Att2in2Core),
+# :458-487 (StackAttCore).
+# ---------------------------------------------------------------------------
+
+_ATT_FAMILIES = {
+    "topdown": ("TopDownModel", convert_topdown_model, {}),
+    "att2in2": ("Att2in2Model", convert_att2in2_model, {}),
+    "stackatt": ("StackAttModel",
+                 lambda s: convert_stack_dense_model(s, dense=False), {}),
+}
+
+
+@pytest.fixture(scope="module", params=sorted(_ATT_FAMILIES))
+def att_family_pair(request, ref_ns):
+    name = request.param
+    refname, converter, optkw = _ATT_FAMILIES[name]
+    torch.manual_seed(29 + len(name))
+    ref = ref_ns[refname](_opt(**optkw)).eval()
+    params = converter(_state_np(ref))
+    cfg = Config(caption_model=name, vocab_size=V, rnn_size=H, num_layers=1,
+                 input_encoding_size=E, fc_feat_size=FC, att_feat_size=ATT,
+                 att_hid_size=AHID, seq_length=T, drop_prob_lm=0.0)
+    model = models.setup(cfg)
+    rng = np.random.RandomState(31 + len(name))
+    fc = rng.randn(B, FC).astype(np.float32)
+    att = rng.randn(B, N, ATT).astype(np.float32)
+    masks = np.ones((B, N), np.float32)
+    masks[0, 3:] = 0
+    return ref, model, params, fc, att, masks
+
+
+def test_att_family_greedy_vs_reference_source(att_family_pair):
+    ref, model, params, fc, att, masks = att_family_pair
+    attri = torch.zeros(B, 1)
+    with torch.no_grad():
+        seq_t, _ = ref(torch.from_numpy(fc), attri, torch.from_numpy(att),
+                       torch.from_numpy(masks),
+                       opt={"sample_max": 1, "beam_size": 1}, mode="sample")
+    feats = Features(fc_feats=jnp.asarray(fc), att_feats=jnp.asarray(att),
+                     att_masks=jnp.asarray(masks))
+    seq, _ = model.sample(params, feats, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(seq), seq_t.numpy())
+
+
+def test_att_family_beam5_vs_reference_source(att_family_pair):
+    ref, model, params, fc, att, masks = att_family_pair
+    with torch.no_grad():
+        seq_t, logps_t = ref(torch.from_numpy(fc), torch.from_numpy(att),
+                             torch.from_numpy(masks), opt={"beam_size": K},
+                             mode="sample_beam")
+    feats = Features(fc_feats=jnp.asarray(fc), att_feats=jnp.asarray(att),
+                     att_masks=jnp.asarray(masks))
+    res = model.sample_beam(params, feats, beam_size=K)
+    seqs, scores = np.asarray(res.seq), np.asarray(res.scores)
+    np.testing.assert_array_equal(seqs[:, 0], seq_t.numpy())
+    for b in range(B):
+        for k, beam in enumerate(ref.done_beams[b][:K]):
+            np.testing.assert_array_equal(
+                seqs[b, k], beam["seq"].numpy(), err_msg=f"b={b} k={k}")
+            np.testing.assert_allclose(scores[b, k], beam["p"], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res.logps)[:, 0],
+                               logps_t.numpy(), atol=1e-4)
