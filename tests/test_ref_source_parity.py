@@ -39,7 +39,8 @@ from unpaired_image_captioning_tpu import models
 from unpaired_image_captioning_tpu.config import Config
 from unpaired_image_captioning_tpu.models.base import Features
 from unpaired_image_captioning_tpu.models.convert import (
-    convert_att2in2_model, convert_fc_model, convert_stack_dense_model,
+    convert_adaatt_model, convert_att2all2_model, convert_att2in2_model,
+    convert_att2in_model, convert_fc_model, convert_stack_dense_model,
     convert_topdown_model)
 
 REF = Path("/root/reference/pivot_based_eccv2018/models")
@@ -94,7 +95,11 @@ def ref_ns():
                "DenseAttModel": att["DenseAttModel"],
                "TopDownModel": att["TopDownModel"],
                "Att2in2Model": att["Att2in2Model"],
-               "StackAttModel": att["StackAttModel"]}
+               "Att2inModel": att["Att2inModel"],
+               "Att2all2Model": att["Att2all2Model"],
+               "StackAttModel": att["StackAttModel"],
+               "AdaAttModel": att["AdaAttModel"],
+               "AdaAttMOModel": att["AdaAttMOModel"]}
     finally:
         for k, v in saved.items():
             if v is None:
@@ -770,8 +775,19 @@ def test_nmt_beam15_vs_reference_source_2layer(nmt_ref_ns):
 _ATT_FAMILIES = {
     "topdown": ("TopDownModel", convert_topdown_model, {}),
     "att2in2": ("Att2in2Model", convert_att2in2_model, {}),
+    "att2in": ("Att2inModel", convert_att2in_model, {}),
+    "att2all2": ("Att2all2Model", convert_att2all2_model, {}),
     "stackatt": ("StackAttModel",
                  lambda s: convert_stack_dense_model(s, dense=False), {}),
+    # the reference AdaAtt only RUNS with input_encoding_size ==
+    # rnn_size == att_hid_size: the sentinel embed is viewed as
+    # [-1, 1, input_encoding_size] though it is att_hid-sized, and the
+    # sentinel value concatenates with the rnn_size att memory
+    # (AttModel.py:383-386) — any other combination crashes its own code
+    "adaatt": ("AdaAttModel", convert_adaatt_model,
+               {"input_encoding_size": H, "att_hid_size": H}),
+    "adaattmo": ("AdaAttMOModel", convert_adaatt_model,
+                 {"input_encoding_size": H, "att_hid_size": H}),
 }
 
 
@@ -783,8 +799,10 @@ def att_family_pair(request, ref_ns):
     ref = ref_ns[refname](_opt(**optkw)).eval()
     params = converter(_state_np(ref))
     cfg = Config(caption_model=name, vocab_size=V, rnn_size=H, num_layers=1,
-                 input_encoding_size=E, fc_feat_size=FC, att_feat_size=ATT,
-                 att_hid_size=AHID, seq_length=T, drop_prob_lm=0.0)
+                 input_encoding_size=optkw.get("input_encoding_size", E),
+                 fc_feat_size=FC, att_feat_size=ATT,
+                 att_hid_size=optkw.get("att_hid_size", AHID),
+                 seq_length=T, drop_prob_lm=0.0)
     model = models.setup(cfg)
     rng = np.random.RandomState(31 + len(name))
     fc = rng.randn(B, FC).astype(np.float32)

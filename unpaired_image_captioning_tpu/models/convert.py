@@ -137,6 +137,75 @@ def convert_att2in2_model(state: Dict[str, np.ndarray]) -> dict:
     }
 
 
+def convert_att2all2_model(state: Dict[str, np.ndarray]) -> dict:
+    """Att2all2Model: like att2in2 but the attention enters ALL 5H gates
+    via a2h (AttModel.py:617-654, fc_embed deleted :678-684)."""
+    return {
+        "embed": jnp.asarray(_t(state, "embed.0.weight")),
+        "att_embed": _linear(state, "att_embed.0"),
+        "ctx2att": _linear(state, "ctx2att"),
+        "logit": [_linear(state, "logit")],
+        "core": {
+            "cell": _fused_cell_from_i2h_h2h(state, "core.i2h", "core.h2h"),
+            "a2h": _linear(state, "core.a2h"),
+            "attention": _attention(state),
+        },
+    }
+
+
+def convert_att2in_model(state: Dict[str, np.ndarray]) -> dict:
+    """Original Att2inModel: bare embedding (no ReLU/dropout wrapper), raw
+    att feats (att_embed identity), ctx2att and a2c from att_feat_size
+    (AttModel.py:604-608, :707-722)."""
+    return {
+        "embed": jnp.asarray(_t(state, "embed.weight")),
+        "ctx2att": _linear(state, "ctx2att"),
+        "logit": [_linear(state, "logit")],
+        "core": {
+            "cell": _fused_cell_from_i2h_h2h(state, "core.i2h", "core.h2h"),
+            "a2c": _linear(state, "core.a2c"),
+            "attention": _attention(state),
+        },
+    }
+
+
+def convert_adaatt_model(state: Dict[str, np.ndarray]) -> dict:
+    """AdaAttModel / AdaAttMOModel: AdaAtt_lstm (w2h/v2h + per-layer
+    i2h/h2h + the fake-region r_* heads, AttModel.py:256-341) and
+    AdaAtt_attention (fr/ho sentinels + alpha_net + att2h, :344-406).
+    The maxout variant only changes the gate width — same names."""
+    n_layers = len({k.split(".")[2] for k in state
+                    if k.startswith("core.lstm.h2h.")})
+    core = {
+        "w2h": _linear(state, "core.lstm.w2h"),
+        "v2h": _linear(state, "core.lstm.v2h"),
+        "h2h": [_linear(state, f"core.lstm.h2h.{i}")
+                for i in range(n_layers)],
+        "i2h": [_linear(state, f"core.lstm.i2h.{i}")
+                for i in range(n_layers - 1)],
+        "r_h2h": _linear(state, "core.lstm.r_h2h"),
+        "fr_linear": _linear(state, "core.attention.fr_linear.0"),
+        "fr_embed": _linear(state, "core.attention.fr_embed"),
+        "ho_linear": _linear(state, "core.attention.ho_linear.0"),
+        "ho_embed": _linear(state, "core.attention.ho_embed"),
+        "alpha_net": _linear(state, "core.attention.alpha_net"),
+        "att2h": _linear(state, "core.attention.att2h"),
+    }
+    if n_layers == 1:
+        core["r_w2h"] = _linear(state, "core.lstm.r_w2h")
+        core["r_v2h"] = _linear(state, "core.lstm.r_v2h")
+    else:
+        core["r_i2h"] = _linear(state, "core.lstm.r_i2h")
+    return {
+        "embed": jnp.asarray(_t(state, "embed.0.weight")),
+        "fc_embed": _linear(state, "fc_embed.0"),
+        **_att_embed_parts(state),
+        "ctx2att": _linear(state, "ctx2att"),
+        "logit": [_linear(state, "logit")],
+        "core": core,
+    }
+
+
 def convert_stack_dense_model(state: Dict[str, np.ndarray],
                               dense: bool = True) -> dict:
     core = {
@@ -328,6 +397,10 @@ CONVERTERS = {
     "fc": convert_fc_model,
     "topdown": convert_topdown_model,
     "att2in2": convert_att2in2_model,
+    "att2in": convert_att2in_model,
+    "att2all2": convert_att2all2_model,
+    "adaatt": convert_adaatt_model,
+    "adaattmo": convert_adaatt_model,
     "stackatt": lambda s: convert_stack_dense_model(s, dense=False),
     "denseatt": lambda s: convert_stack_dense_model(s, dense=True),
     "stackcap": convert_stackcap_model,
