@@ -843,3 +843,116 @@ def test_att_family_beam5_vs_reference_source(att_family_pair):
             np.testing.assert_allclose(scores[b, k], beam["p"], atol=1e-4)
     np.testing.assert_allclose(np.asarray(res.logps)[:, 0],
                                logps_t.numpy(), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# round 5 (second pass): the legacy families — ShowTell + the OldModel pair
+# (ShowAttendTell, AllImg) — against their own exec'd sources
+# (ShowTellModel.py, OldModel.py). These classes are imported by the
+# reference factory (models/__init__.py:12,15) though no recipe selects
+# them; they are product surface. Quirks honored here: OldModel.sample
+# breaks out of the loop once every row finished, returning a VARIABLE
+# width [B, <=T]; OldModel has plain `sample`/`sample_beam` (no underscore
+# dispatch); ShowAttendTellCore's attention takes no mask.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def legacy_ns(ref_ns):
+    # ref_ns already stubs misc.utils; exec the two legacy sources with the
+    # same CaptionModel injection
+    cap = _exec_ref("CaptionModel.py", {})
+    st = _exec_ref("ShowTellModel.py", {"CaptionModel": cap["CaptionModel"]})
+    old = _exec_ref("OldModel.py", {"CaptionModel": cap["CaptionModel"]})
+    return {"ShowTellModel": st["ShowTellModel"],
+            "ShowAttendTellModel": old["ShowAttendTellModel"],
+            "AllImgModel": old["AllImgModel"]}
+
+
+def _legacy_pair(legacy_ns, name, refname, seed, **cfg_kw):
+    torch.manual_seed(seed)
+    ref = legacy_ns[refname](_opt(**cfg_kw)).eval()
+    from unpaired_image_captioning_tpu.models.convert import CONVERTERS
+    params = CONVERTERS[name](_state_np(ref))
+    cfg = Config(caption_model=name, vocab_size=V, rnn_size=H,
+                 num_layers=cfg_kw.get("num_layers", 1),
+                 input_encoding_size=cfg_kw.get("input_encoding_size", E),
+                 fc_feat_size=FC, att_feat_size=ATT, att_hid_size=AHID,
+                 seq_length=T, drop_prob_lm=0.0)
+    model = models.setup(cfg)
+    rng = np.random.RandomState(seed + 1)
+    fc = rng.randn(B, FC).astype(np.float32)
+    att = rng.randn(B, N, ATT).astype(np.float32)
+    return ref, model, params, fc, att
+
+
+def _assert_prefix_match(ours, ref_np):
+    """OldModel.sample returns [B, W<=T] (early break); ours is [B, T]
+    with zeros after EOS — the first W columns must be identical and the
+    tail all pad."""
+    ours = np.asarray(ours)
+    w = ref_np.shape[1]
+    np.testing.assert_array_equal(ours[:, :w], ref_np)
+    assert (ours[:, w:] == 0).all()
+
+
+def test_show_tell_greedy_vs_reference_source(legacy_ns):
+    ref, model, params, fc, att = _legacy_pair(
+        legacy_ns, "show_tell", "ShowTellModel", 41)
+    with torch.no_grad():
+        seq_t, _ = ref(torch.from_numpy(fc), torch.from_numpy(att),
+                       opt={"sample_max": 1, "beam_size": 1}, mode="sample")
+    feats = Features(fc_feats=jnp.asarray(fc), att_feats=jnp.asarray(att))
+    seq, _ = model.sample(params, feats, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(seq), seq_t.numpy())
+
+
+def test_show_tell_beam5_vs_reference_source(legacy_ns):
+    ref, model, params, fc, att = _legacy_pair(
+        legacy_ns, "show_tell", "ShowTellModel", 43)
+    with torch.no_grad():
+        seq_t, _ = ref(torch.from_numpy(fc), torch.from_numpy(att),
+                       opt={"beam_size": K}, mode="sample_beam")
+    feats = Features(fc_feats=jnp.asarray(fc), att_feats=jnp.asarray(att))
+    res = model.sample_beam(params, feats, beam_size=K)
+    seqs, scores = np.asarray(res.seq), np.asarray(res.scores)
+    np.testing.assert_array_equal(seqs[:, 0], seq_t.numpy())
+    for b in range(B):
+        for k, beam in enumerate(ref.done_beams[b][:K]):
+            np.testing.assert_array_equal(seqs[b, k], beam["seq"].numpy(),
+                                          err_msg=f"b={b} k={k}")
+            np.testing.assert_allclose(scores[b, k], beam["p"], atol=1e-4)
+
+
+@pytest.mark.parametrize("name,refname", [
+    ("show_attend_tell", "ShowAttendTellModel"),
+    ("all_img", "AllImgModel"),
+])
+def test_oldmodel_greedy_vs_reference_source(legacy_ns, name, refname):
+    ref, model, params, fc, att = _legacy_pair(legacy_ns, name, refname, 47)
+    with torch.no_grad():
+        seq_t, _ = ref.sample(torch.from_numpy(fc), torch.from_numpy(att),
+                              {"sample_max": 1, "beam_size": 1})
+    feats = Features(fc_feats=jnp.asarray(fc), att_feats=jnp.asarray(att))
+    seq, _ = model.sample(params, feats, jax.random.PRNGKey(0))
+    _assert_prefix_match(seq, seq_t.numpy())
+
+
+@pytest.mark.parametrize("name,refname", [
+    ("show_attend_tell", "ShowAttendTellModel"),
+    ("all_img", "AllImgModel"),
+])
+def test_oldmodel_beam5_vs_reference_source(legacy_ns, name, refname):
+    ref, model, params, fc, att = _legacy_pair(legacy_ns, name, refname, 53)
+    with torch.no_grad():
+        seq_t, _ = ref.sample_beam(torch.from_numpy(fc),
+                                   torch.from_numpy(att), {"beam_size": K})
+    feats = Features(fc_feats=jnp.asarray(fc), att_feats=jnp.asarray(att))
+    res = model.sample_beam(params, feats, beam_size=K)
+    seqs, scores = np.asarray(res.seq), np.asarray(res.scores)
+    np.testing.assert_array_equal(seqs[:, 0], seq_t.numpy())
+    for b in range(B):
+        for k, beam in enumerate(ref.done_beams[b][:K]):
+            np.testing.assert_array_equal(seqs[b, k], beam["seq"].numpy(),
+                                          err_msg=f"{name} b={b} k={k}")
+            np.testing.assert_allclose(scores[b, k], beam["p"], atol=1e-4)

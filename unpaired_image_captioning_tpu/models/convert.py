@@ -206,6 +206,66 @@ def convert_adaatt_model(state: Dict[str, np.ndarray]) -> dict:
     }
 
 
+def _torch_lstm_layers(state, prefix):
+    """nn.LSTM weights (weight_ih_l{k}/weight_hh_l{k}, optional biases) ->
+    our stacked-cell list (gate order permuted i,f,g,o -> i,f,o,g)."""
+    cells = []
+    k = 0
+    while f"{prefix}.weight_ih_l{k}" in state:
+        cells.append(_torch_lstmcell(
+            state, prefix, ih=f"weight_ih_l{k}", hh=f"weight_hh_l{k}",
+            bih=f"bias_ih_l{k}", bhh=f"bias_hh_l{k}"))
+        k += 1
+    return cells
+
+
+def convert_show_tell_model(state: Dict[str, np.ndarray]) -> dict:
+    """ShowTellModel (ShowTellModel.py:14-40): img_embed Linear, bare
+    embedding, bias-free nn.LSTM core, logit."""
+    return {
+        "img_embed": _linear(state, "img_embed"),
+        "embed": jnp.asarray(_t(state, "embed.weight")),
+        "core": _torch_lstm_layers(state, "core"),
+        "logit": _linear(state, "logit"),
+    }
+
+
+def convert_show_attend_tell_model(state: Dict[str, np.ndarray]) -> dict:
+    """ShowAttendTellModel (OldModel.py:20-53, 182-252): `linear` maps fc
+    to the initial hidden, bare embedding, bias-free nn.LSTM over
+    [word; att_res], additive attention over RAW att feats whose ctx2att
+    lives inside the core (mapped to our top-level slot — same math)."""
+    return {
+        "img_linear": _linear(state, "linear"),
+        "embed": jnp.asarray(_t(state, "embed.weight")),
+        "ctx2att": _linear(state, "core.ctx2att"),
+        "logit": [_linear(state, "logit")],
+        # fc_embed exists in our AttModel param tree but is unused by this
+        # core (the reference maps fc only through `linear`); zero it
+        "fc_embed": {"w": jnp.zeros((_t(state, "linear.weight").shape[1],
+                                     _t(state, "logit.weight").shape[1]),
+                                    jnp.float32),
+                     "b": jnp.zeros((_t(state, "logit.weight").shape[1],),
+                                    jnp.float32)},
+        "core": {
+            "lstm": _torch_lstm_layers(state, "core.rnn"),
+            "attention": {"h2att": _linear(state, "core.h2att"),
+                          "alpha_net": _linear(state, "core.alpha_net")},
+        },
+    }
+
+
+def convert_all_img_model(state: Dict[str, np.ndarray]) -> dict:
+    """AllImgModel (OldModel.py:232-256): `linear` initial hidden, bare
+    embedding, bias-free nn.LSTM over [word; fc], logit."""
+    return {
+        "img_linear": _linear(state, "linear"),
+        "embed": jnp.asarray(_t(state, "embed.weight")),
+        "core": _torch_lstm_layers(state, "core.rnn"),
+        "logit": _linear(state, "logit"),
+    }
+
+
 def convert_stack_dense_model(state: Dict[str, np.ndarray],
                               dense: bool = True) -> dict:
     core = {
@@ -401,6 +461,9 @@ CONVERTERS = {
     "att2all2": convert_att2all2_model,
     "adaatt": convert_adaatt_model,
     "adaattmo": convert_adaatt_model,
+    "show_tell": convert_show_tell_model,
+    "show_attend_tell": convert_show_attend_tell_model,
+    "all_img": convert_all_img_model,
     "stackatt": lambda s: convert_stack_dense_model(s, dense=False),
     "denseatt": lambda s: convert_stack_dense_model(s, dense=True),
     "stackcap": convert_stackcap_model,
