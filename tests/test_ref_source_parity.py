@@ -67,6 +67,7 @@ def _exec_ref(relpath: str, extra: dict) -> dict:
     src = (REF / relpath).read_text()
     src = src.replace("from .CaptionModel import CaptionModel", "")
     src = src.replace("from .FCModel import LSTMCore", "")
+    src = src.replace("from .AttModel import pack_wrapper, AttModel", "")
     ns = dict(extra)
     ns["reduce"] = __import__("functools").reduce
     exec(compile(src, str(REF / relpath), "exec"), ns)
@@ -956,3 +957,59 @@ def test_oldmodel_beam5_vs_reference_source(legacy_ns, name, refname):
             np.testing.assert_array_equal(seqs[b, k], beam["seq"].numpy(),
                                           err_msg=f"{name} b={b} k={k}")
             np.testing.assert_allclose(scores[b, k], beam["p"], atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# round 5 (second pass): the ENSEMBLE beam against the reference's own
+# exec'd AttEnsemble.py (probability-space mean of member softmaxes,
+# AttEnsemble.py:47-55, beam via the shared CaptionModel.beam_search) —
+# two denseatt members with independent weights, both converted.
+# ---------------------------------------------------------------------------
+
+
+def test_ensemble_beam5_vs_reference_source(ref_ns):
+    from unpaired_image_captioning_tpu.models.ensemble import AttEnsemble
+
+    cap = _exec_ref("CaptionModel.py", {})
+    fcmod = _exec_ref("FCModel.py", {"CaptionModel": cap["CaptionModel"]})
+    att = _exec_ref("AttModel.py", {"CaptionModel": cap["CaptionModel"],
+                                    "LSTMCore": fcmod["LSTMCore"]})
+    # py2-compat shim (same class as the injected `reduce`): the module was
+    # written for py2 where zip() returns a LIST — its beam_search indexes
+    # the state chunks (`state_table[divm]`, AttEnsemble.py:219) which a
+    # py3 zip object cannot do. No model logic altered.
+    ens_ns = _exec_ref("AttEnsemble.py",
+                       {"CaptionModel": cap["CaptionModel"],
+                        "AttModel": att["AttModel"],
+                        "pack_wrapper": att["pack_wrapper"],
+                        "zip": lambda *a: list(zip(*a))})
+    torch.manual_seed(61)
+    ref_a = att["DenseAttModel"](_opt()).eval()
+    torch.manual_seed(67)
+    ref_b = att["DenseAttModel"](_opt()).eval()
+    ref_ens = ens_ns["AttEnsemble"]([ref_a, ref_b]).eval()
+
+    params_a = convert_stack_dense_model(_state_np(ref_a))
+    params_b = convert_stack_dense_model(_state_np(ref_b))
+    cfg = Config(caption_model="denseatt", vocab_size=V, rnn_size=H,
+                 num_layers=1, input_encoding_size=E, fc_feat_size=FC,
+                 att_feat_size=ATT, att_hid_size=AHID, seq_length=T,
+                 drop_prob_lm=0.0)
+    model = models.setup(cfg)
+    ours = AttEnsemble(models=(model, model))
+
+    rng = np.random.RandomState(71)
+    fc = rng.randn(B, FC).astype(np.float32)
+    attf = rng.randn(B, N, ATT).astype(np.float32)
+    with torch.no_grad():
+        seq_t, _ = ref_ens(torch.from_numpy(fc), torch.from_numpy(attf),
+                           opt={"beam_size": K}, mode="sample_beam")
+    feats = Features(fc_feats=jnp.asarray(fc), att_feats=jnp.asarray(attf))
+    res = ours.sample_beam([params_a, params_b], feats, beam_size=K)
+    seqs, scores = np.asarray(res.seq), np.asarray(res.scores)
+    np.testing.assert_array_equal(seqs[:, 0], seq_t.numpy())
+    for b in range(B):
+        for k, beam in enumerate(ref_ens.done_beams[b][:K]):
+            np.testing.assert_array_equal(seqs[b, k], beam["seq"].numpy(),
+                                          err_msg=f"b={b} k={k}")
+            np.testing.assert_allclose(scores[b, k], beam["p"], atol=1e-3)
