@@ -1,0 +1,142 @@
+"""Fork-module VALUE parity against the vendored onmt package's own exec'd
+sources (round 5): the attention-transform math that previous rounds pinned
+only by properties / finite-difference checks.
+
+- MatrixTree (onmt/modules/StructuredAttention.py): edge + root marginals
+  of the matrix-tree structured attention vs ops.attention_transforms.
+  matrix_tree_marginals (the reference stores root scores on the input
+  diagonal and returns root marginals on the output diagonal).
+- SparsemaxFunction forward/backward (onmt/modules/activations.py:76-110)
+  vs ops.attention_transforms.sparsemax (+ its JAX gradient).
+- constrained_softmax (activations.py:28-56, the numpy routine the
+  autograd Function wraps) vs ops.attention_transforms.constrained_softmax.
+- constrained_sparsemax (onmt/modules/constrained_sparsemax.py solver) vs
+  ops.attention_transforms.constrained_sparsemax.
+
+The onmt package loads through test_ref_nmt_source_parity's meta-path
+shim (purely textual py2->py3 fixes + torch-0.3 device compat — no logic
+changes). The old-style autograd Functions are invoked via their
+forward/backward METHODS directly (modern torch refuses to __call__
+legacy Functions; the methods themselves are untouched reference code).
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from test_ref_nmt_source_parity import FORK, _OnmtFinder
+from unpaired_image_captioning_tpu.ops import attention_transforms as at
+
+pytestmark = pytest.mark.skipif(not FORK.exists(),
+                                reason="reference checkout not present")
+
+
+@pytest.fixture(scope="module")
+def onmt_modules():
+    finder = _OnmtFinder()
+    sys.meta_path.insert(0, finder)
+    # onmt/Models.py:15 `import evaluation` (multi-bleu subprocess wrapper,
+    # unused here) — stub, like test_ref_nmt_source_parity does
+    saved_eval = sys.modules.get("evaluation")
+    sys.modules["evaluation"] = types.ModuleType("evaluation")
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.cuda.FloatTensor = torch.FloatTensor
+    torch.cuda.LongTensor = torch.LongTensor
+    torch.cuda.ByteTensor = torch.ByteTensor
+    try:
+        import onmt.modules.activations as acts
+        import onmt.modules.constrained_sparsemax as csp
+        from onmt.modules.StructuredAttention import MatrixTree
+
+        yield types.SimpleNamespace(acts=acts, csp=csp,
+                                    MatrixTree=MatrixTree)
+    finally:
+        sys.meta_path.remove(finder)
+        for k in [m for m in sys.modules
+                  if m == "onmt" or m.startswith("onmt.")]:
+            del sys.modules[k]
+        if saved_eval is None:
+            sys.modules.pop("evaluation", None)
+        else:
+            sys.modules["evaluation"] = saved_eval
+
+
+def test_matrix_tree_marginals_vs_fork_source(onmt_modules):
+    b, n = 3, 5
+    rng = np.random.RandomState(0)
+    scores = rng.randn(b, n, n).astype(np.float32)
+    roots = rng.randn(b, n).astype(np.float32)
+    ref_in = scores.copy()
+    for i in range(b):
+        np.fill_diagonal(ref_in[i], roots[i])
+    with torch.no_grad():
+        ref_out = onmt_modules.MatrixTree()(
+            torch.from_numpy(ref_in)).numpy()
+    marg, root_marg = at.matrix_tree_marginals(jnp.asarray(scores),
+                                               jnp.asarray(roots))
+    marg, root_marg = np.asarray(marg), np.asarray(root_marg)
+    off = ~np.eye(n, dtype=bool)
+    for i in range(b):
+        np.testing.assert_allclose(marg[i][off], ref_out[i][off],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(root_marg[i], np.diag(ref_out[i]),
+                                   rtol=1e-4, atol=1e-5)
+
+
+class _Ctx:
+    """Stand-in for the legacy autograd Function's self: modern torch no
+    longer services save_for_backward/saved_tensors on a bare instance.
+    The reference forward/backward METHODS run verbatim against this."""
+
+    def save_for_backward(self, *tensors):
+        self.saved_tensors = tensors
+
+
+def test_sparsemax_forward_backward_vs_fork_source(onmt_modules):
+    rng = np.random.RandomState(1)
+    z = rng.randn(4, 9).astype(np.float64)
+    F = onmt_modules.acts.SparsemaxFunction
+    ctx = _Ctx()
+    p_ref = F.forward(ctx, torch.from_numpy(z)).numpy()
+    p_ours = np.asarray(at.sparsemax(jnp.asarray(z)))
+    np.testing.assert_allclose(p_ours, p_ref, atol=1e-6)
+
+    g = rng.randn(4, 9).astype(np.float64)
+    dz_ref = F.backward(ctx, torch.from_numpy(g)).numpy()
+    _, vjp = jax.vjp(at.sparsemax, jnp.asarray(z))
+    (dz_ours,) = vjp(jnp.asarray(g))
+    np.testing.assert_allclose(np.asarray(dz_ours), dz_ref, atol=1e-6)
+
+
+def test_constrained_softmax_vs_fork_source(onmt_modules):
+    rng = np.random.RandomState(2)
+    z = rng.randn(6, 8).astype(np.float64)
+    # valid bounds: nonnegative, sum >= 1 per row (the routine asserts it)
+    u = (rng.rand(6, 8) + 0.2).astype(np.float64)
+    p_ref = np.stack([onmt_modules.acts.constrained_softmax(
+        z[i].copy(), u[i].copy())[0] for i in range(6)])
+    p_ours = np.asarray(at.constrained_softmax(
+        jnp.asarray(z), upper_bounds=jnp.asarray(u)))
+    np.testing.assert_allclose(p_ours, p_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_constrained_sparsemax_vs_fork_source(onmt_modules):
+    rng = np.random.RandomState(3)
+    z = rng.randn(6, 8).astype(np.float64)
+    u = (rng.rand(6, 8) + 0.2).astype(np.float64)
+    refs = []
+    for i in range(6):
+        out = onmt_modules.csp.constrained_sparsemax(z[i].copy(),
+                                                     u[i].copy())
+        refs.append(np.asarray(out[0], dtype=np.float64))
+    p_ref = np.stack(refs)
+    p_ours = np.asarray(at.constrained_sparsemax(
+        jnp.asarray(z), upper_bounds=jnp.asarray(u)))
+    np.testing.assert_allclose(p_ours, p_ref, atol=1e-5)
