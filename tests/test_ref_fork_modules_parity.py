@@ -140,3 +140,44 @@ def test_constrained_sparsemax_vs_fork_source(onmt_modules):
     p_ours = np.asarray(at.constrained_sparsemax(
         jnp.asarray(z), upper_bounds=jnp.asarray(u)))
     np.testing.assert_allclose(p_ours, p_ref, atol=1e-5)
+
+
+def test_context_gates_vs_fork_source(onmt_modules):
+    """All three ContextGate variants (onmt/modules/Gate.py) vs the gate
+    math inside NMTDecoder.step (models/nmt.py) — weights converted from
+    the reference module's state_dict."""
+    import onmt.modules.Gate as gate_mod
+
+    E_, H_ = 7, 11
+    rng = np.random.RandomState(4)
+    emb = rng.randn(5, E_).astype(np.float32)
+    dec = rng.randn(5, H_).astype(np.float32)
+    att = rng.randn(5, H_).astype(np.float32)
+
+    for kind in ("source", "target", "both"):
+        torch.manual_seed(97)
+        ref = gate_mod.ContextGateFactory(kind, E_, H_, H_, H_).eval()
+        st = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        with torch.no_grad():
+            out_ref = ref(torch.from_numpy(emb), torch.from_numpy(dec),
+                          torch.from_numpy(att)).numpy()
+
+        def lin(prefix, x):
+            w = jnp.asarray(st[prefix + ".weight"].T)
+            b = jnp.asarray(st[prefix + ".bias"])
+            return jnp.dot(jnp.asarray(x), w) + b
+
+        # the same formulation NMTDecoder.step applies (models/nmt.py)
+        zin = np.concatenate([emb, dec, att], axis=-1)
+        z = jax.nn.sigmoid(lin("context_gate.gate", zin))
+        src_p = lin("context_gate.source_proj", att)
+        tgt_p = lin("context_gate.target_proj",
+                    np.concatenate([emb, dec], -1))
+        if kind == "source":
+            ours = jnp.tanh(tgt_p + z * src_p)
+        elif kind == "target":
+            ours = jnp.tanh(z * tgt_p + src_p)
+        else:
+            ours = jnp.tanh((1.0 - z) * tgt_p + z * src_p)
+        np.testing.assert_allclose(np.asarray(ours), out_ref, atol=1e-5,
+                                   err_msg=kind)

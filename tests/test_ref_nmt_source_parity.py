@@ -210,3 +210,58 @@ def test_nmt_beam15_vs_reference_source(ref_nmt_ns, monkeypatch):
         ref_attn = [int(a.argmax()) for a in allAttn[0][0]]
         np.testing.assert_array_equal(aux[b, 0, :t_stop].tolist(), ref_attn,
                                       err_msg=f"b={b}")
+
+
+def test_nmt_beam15_context_gate_vs_reference_source(ref_nmt_ns):
+    """Beam-15 parity with the CONTEXT GATE engaged (round 5): the exec'd
+    reference gates on the INPUT-FED embedding (emb_t after the concat,
+    NMT_Models.py:237-245), which this test pinned our decoder to. The
+    reference gate path only runs when word_vec_size == rnn_size (the
+    ContextGateFactory declares wv-sized embeddings but receives the
+    wv+rnn-sized emb_t, Gate.py:32 vs the call at NMT_Models.py:245), so
+    this config uses wv == rnn."""
+    import onmt
+
+    opt = _opt()
+    opt.word_vec_size = NH
+    opt.context_gate = "both"
+    torch.manual_seed(29)
+    enc = ref_nmt_ns["Encoder"](opt, _FakeDict(SV))
+    dec = ref_nmt_ns["Decoder"](opt, _FakeDict(TV))
+    ref = ref_nmt_ns["NMTModel"](opt, enc, dec, _FakeDict(SV), _FakeDict(TV))
+    ref.generator = torch.nn.Sequential(torch.nn.Linear(NH, TV),
+                                        torch.nn.LogSoftmax(dim=-1))
+    ref.eval()
+
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_nmt_model(state, layers=1, brnn=True)
+    ours = NMTModel(src_vocab_size=SV, tgt_vocab_size=TV, word_vec_size=NH,
+                    rnn_size=NH, layers=1, dropout=0.0, src_emb_mlp=True,
+                    context_gate="both")
+
+    rng = np.random.RandomState(9)
+    Bn, S, K, MAXL = 3, 6, 15, 100
+    lens = np.array([6, 4, 5], np.int32)
+    src = np.zeros((Bn, S), np.int32)
+    for i, ln in enumerate(lens):
+        src[i, :ln] = rng.randint(4, SV, size=ln)
+
+    res = ours.translate_batch(params, jnp.asarray(src), jnp.asarray(lens),
+                               beam_size=K, max_len=MAXL)
+    seqs, scores = np.asarray(res.seq), np.asarray(res.scores)
+
+    for b in range(Bn):
+        data = onmt.Dataset(
+            [torch.from_numpy(src[b, :lens[b]].astype(np.int64))], None,
+            opt.batch_size, False, volatile=True, data_type="text")
+        batch = data[0]
+        with torch.no_grad():
+            allHyp, allScores, _, _ = ref.translateBatch(batch)
+        ref_hyp = [int(x) for x in allHyp[0][0]]
+        t_stop = len(ref_hyp)
+        got = seqs[b, 0, :t_stop].tolist()
+        np.testing.assert_array_equal(got, ref_hyp,
+                                      err_msg=f"b={b}: {got} vs {ref_hyp}")
+        np.testing.assert_allclose(scores[b, 0], float(allScores[0][0]),
+                                   atol=1e-3)
+        assert (seqs[b, 0, t_stop:] == PAD).all()

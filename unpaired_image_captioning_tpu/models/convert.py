@@ -446,6 +446,15 @@ def convert_nmt_model(state: Dict[str, np.ndarray], *, layers: int = 1,
         "linear_in": {"w": jnp.asarray(_t(state, "decoder.attn.linear_in.weight").T)},
         "linear_out": {"w": jnp.asarray(_t(state, "decoder.attn.linear_out.weight").T)},
     }
+    if "decoder.context_gate.context_gate.gate.weight" in state:
+        # Source/Target/BothContextGate all wrap one ContextGate module
+        # (onmt/modules/Gate.py:25-45); the variant lives in config
+        gp = "decoder.context_gate.context_gate"
+        p["decoder"]["gate"] = {
+            "gate": _linear(state, gp + ".gate"),
+            "source_proj": _linear(state, gp + ".source_proj"),
+            "target_proj": _linear(state, gp + ".target_proj"),
+        }
     if "generator.0.weight" in state:
         p["generator"] = _linear(state, "generator.0")
     elif "generator.weight" in state:

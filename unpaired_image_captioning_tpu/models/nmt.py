@@ -322,13 +322,18 @@ class NMTDecoder:
             "attn": global_attention_init(ks[2], self.rnn_size, self.attention_type),
         }
         if self.context_gate is not None:
-            in_sz = self.word_vec_size + self.rnn_size + self.rnn_size
+            # the gate consumes the INPUT-FED embedding (see step) — its
+            # width is wv+rnn under input feeding, matching the reference's
+            # runtime shapes (NMT_Models.py:237-245)
+            emb_w = self.word_vec_size + (self.rnn_size if self.input_feed
+                                          else 0)
+            in_sz = emb_w + self.rnn_size + self.rnn_size
             p["gate"] = {
                 "gate": linear_init(ks[3], in_sz, self.rnn_size),
                 "source_proj": linear_init(ks[4], self.rnn_size, self.rnn_size),
                 "target_proj": linear_init(
                     jax.random.fold_in(ks[4], 1),
-                    self.word_vec_size + self.rnn_size, self.rnn_size),
+                    emb_w + self.rnn_size, self.rnn_size),
             }
         if self.coverage_attn:
             p["linear_cover"] = {"w": linear_init(
@@ -395,11 +400,19 @@ class NMTDecoder:
             mask=src_mask, upper_bounds=state.get("upper_bounds"),
             c_attn=self.c_attn)
         if self.context_gate is not None:
+            # the reference gates on the INPUT-FED embedding: emb_t is
+            # [emb; prev output] by the time ContextGate sees it
+            # (NMT_Models.py:237-245 — prev_emb = emb_t after the
+            # input-feed concat). Exec-source parity (round 5) exposed the
+            # plain-emb variant as a divergence; note the reference gate
+            # path only RUNS when word_vec_size == rnn_size (the factory
+            # declares wv-sized embeddings but receives the wv+rnn-sized
+            # emb_t — Gate.py:32 vs the call at :245).
             g = params["gate"]
-            zin = jnp.concatenate([emb, rnn_out, attn_out], axis=-1)
+            zin = jnp.concatenate([emb_in, rnn_out, attn_out], axis=-1)
             z = jax.nn.sigmoid(linear(g["gate"], zin).astype(jnp.float32)).astype(emb.dtype)
             src_p = linear(g["source_proj"], attn_out)
-            tgt_p = linear(g["target_proj"], jnp.concatenate([emb, rnn_out], -1))
+            tgt_p = linear(g["target_proj"], jnp.concatenate([emb_in, rnn_out], -1))
             if self.context_gate == "source":
                 out = jnp.tanh(tgt_p + z * src_p)
             elif self.context_gate == "target":
