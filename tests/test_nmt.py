@@ -55,6 +55,9 @@ def test_forward_shapes(rng):
     dict(attn_transform="constrained_sparsemax", fertility=2.0),
     dict(context_gate="both"),
     dict(coverage_attn=True),
+    # opt-in Tu et al. feedback (the reference inits linear_cover but never
+    # feeds coverage into attention; see NMTDecoder.coverage_feed)
+    dict(coverage_attn=True, coverage_feed=True),
     dict(brnn=False),
     dict(layers=2),
     dict(share_decoder_embeddings=True, word_vec_size=24),

@@ -96,6 +96,10 @@ class Config:
     brnn_merge: str = "concat"
     copy_attn: bool = False
     coverage_attn: bool = False
+    # opt-in coverage->attention feedback; the reference accumulates
+    # coverage but never feeds it into GlobalAttention at any call site
+    # (models/nmt.py NMTDecoder.coverage_feed)
+    coverage_feed: bool = False
     exhaustion_loss: bool = False
     lambda_exhaust: float = 0.001
     lambda_coverage: float = 1.0

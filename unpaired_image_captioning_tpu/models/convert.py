@@ -446,6 +446,12 @@ def convert_nmt_model(state: Dict[str, np.ndarray], *, layers: int = 1,
         "linear_in": {"w": jnp.asarray(_t(state, "decoder.attn.linear_in.weight").T)},
         "linear_out": {"w": jnp.asarray(_t(state, "decoder.attn.linear_out.weight").T)},
     }
+    if "decoder.attn.linear_cover.weight" in state:
+        # coverage projection (GlobalAttention.__init__ :76-77); dead at
+        # reference runtime (no call site passes coverage) but present in
+        # coverage-enabled checkpoints
+        p["decoder"]["linear_cover"] = {"w": jnp.asarray(
+            _t(state, "decoder.attn.linear_cover.weight").T)}
     if "decoder.context_gate.context_gate.gate.weight" in state:
         # Source/Target/BothContextGate all wrap one ContextGate module
         # (onmt/modules/Gate.py:25-45); the variant lives in config

@@ -308,6 +308,14 @@ class NMTDecoder:
     context_gate: Optional[str] = None
     position_encoding: bool = False
     copy_attn: bool = False
+    # The reference initializes linear_cover but NEVER passes coverage into
+    # GlobalAttention.forward at any call site (NMT_Models.py:241, fork
+    # Models.py:503 — the coverage kwarg is dead at runtime; its
+    # `if coverage:` guard would even raise on a multi-element tensor), so
+    # executed-reference semantics accumulate coverage without feeding it
+    # back. coverage_feed=True opts into the Tu et al. feedback the module
+    # was clearly written for (tanh(ctx + linear_cover(cov))).
+    coverage_feed: bool = False
 
     @property
     def rnn_input_size(self) -> int:
@@ -389,15 +397,21 @@ class NMTDecoder:
             jnp.moveaxis(state["h"], 1, 0), jnp.moveaxis(state["c"], 1, 0),
             dropout_rng=r[1] if training else None, dropout=self.dropout)
         ctx_in = context
-        if self.coverage_attn:
+        if self.coverage_attn and self.coverage_feed:
             cov = state["coverage"]
             ctx_in = jnp.tanh(context + jnp.dot(
                 cov[..., None], params["linear_cover"]["w"],
                 preferred_element_type=jnp.float32).astype(context.dtype))
+        ub = state.get("upper_bounds")
+        if ub is not None:
+            # the reference re-pins the <SINK> bound to 100 EVERY step
+            # before attention (NMT_Models.py:234, fork Models.py:493) —
+            # the post-step decrement on the sink column never survives
+            ub = ub.at[:, -1].set(100.0)
         attn_out, attn = global_attention_apply(
             params["attn"], rnn_out, ctx_in,
             attn_type=self.attention_type, attn_transform=self.attn_transform,
-            mask=src_mask, upper_bounds=state.get("upper_bounds"),
+            mask=src_mask, upper_bounds=ub,
             c_attn=self.c_attn)
         if self.context_gate is not None:
             # the reference gates on the INPUT-FED embedding: emb_t is
@@ -435,8 +449,8 @@ class NMTDecoder:
                 params["copy_attn"], out, context,
                 attn_type=self.attention_type, mask=src_mask)
             new_state["copy_attn"] = cp
-        if "upper_bounds" in state:
-            new_state["upper_bounds"] = state["upper_bounds"] - attn
+        if ub is not None:
+            new_state["upper_bounds"] = ub - attn  # (NMT_Models.py:243)
         if self.coverage_attn:
             new_state["coverage"] = state["coverage"] + attn
         return out, attn, new_state
@@ -461,6 +475,7 @@ class NMTModel:
     c_attn: float = 0.0
     fertility: Optional[float] = None
     coverage_attn: bool = False
+    coverage_feed: bool = False  # see NMTDecoder.coverage_feed
     context_gate: Optional[str] = None
     position_encoding: bool = False
     share_decoder_embeddings: bool = False
@@ -485,7 +500,8 @@ class NMTModel:
                           self.layers, self.input_feed, self.dropout,
                           self.attention_type, self.attn_transform, self.c_attn,
                           self.fertility, self.coverage_attn, self.context_gate,
-                          self.position_encoding, self.copy_attn)
+                          self.position_encoding, self.copy_attn,
+                          coverage_feed=self.coverage_feed)
 
     @classmethod
     def from_config(cls, cfg) -> "NMTModel":
@@ -497,6 +513,7 @@ class NMTModel:
             dropout=cfg.dropout, attention_type=cfg.attention_type,
             attn_transform=cfg.attn_transform, c_attn=cfg.c_attn,
             fertility=cfg.fertility, coverage_attn=cfg.coverage_attn,
+            coverage_feed=getattr(cfg, "coverage_feed", False),
             context_gate=cfg.context_gate,
             position_encoding=cfg.position_encoding,
             share_decoder_embeddings=cfg.share_decoder_embeddings,
@@ -722,8 +739,10 @@ class NMTModel:
         # At beam 15 the encoder context can stay unexpanded across beams
         # (read once per sentence; global_attention_apply is K-aware) —
         # kept opt-out after A/B measurements favored expansion at small
-        # beams; coverage requires expansion (per-beam context edits).
-        no_expand = () if self.coverage_attn else ("context", "src_mask")
+        # beams; coverage FEEDBACK requires expansion (per-beam context
+        # edits) — plain coverage_attn accumulation does not touch context.
+        needs_expand = self.coverage_attn and self.coverage_feed
+        no_expand = () if needs_expand else ("context", "src_mask")
         # onmt semantics (NOT the caption dead-slot beam): EOS'd rows keep
         # extending, a sentence stops when EOS tops its beam, hypotheses are
         # truncated at the first EOS at read-out (onmt/Beam.py:50-88;
