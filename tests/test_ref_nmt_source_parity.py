@@ -327,6 +327,20 @@ def test_nmt_beam15_constrained_sparsemax_c_attn_vs_reference_source(
                      check_attn=False)
 
 
+def test_nmt_beam15_mlp_attention_vs_reference_source(ref_nmt_ns):
+    """Beam-15 parity with the Bahdanau MLP attention
+    (GlobalAttention.py:54-57 linear_context/linear_query/v; :115-128
+    additive scores; NO linear_out on this path — the raw weighted
+    context is the attention output)."""
+    opt = _opt()
+    opt.attention_type = "mlp"
+    ours = NMTModel(src_vocab_size=SV, tgt_vocab_size=TV, word_vec_size=NE,
+                    rnn_size=NH, layers=1, dropout=0.0, src_emb_mlp=True,
+                    attention_type="mlp")
+    _beam_pair_check(ref_nmt_ns, opt, ours, seed=19, torch_seed=43,
+                     eos_bias=1.5)
+
+
 def test_nmt_beam15_coverage_attn_vs_reference_source(ref_nmt_ns):
     """Beam-15 parity with coverage_attn=True: the EXEC'D reference
     accumulates coverage (NMT_Models.py:254 under the documented

@@ -442,10 +442,19 @@ def convert_nmt_model(state: Dict[str, np.ndarray], *, layers: int = 1,
     for l in range(layers):
         p["decoder"]["rnn"].append(_torch_lstmcell(
             state, f"decoder.rnn.layers.{l}"))
-    p["decoder"]["attn"] = {
-        "linear_in": {"w": jnp.asarray(_t(state, "decoder.attn.linear_in.weight").T)},
-        "linear_out": {"w": jnp.asarray(_t(state, "decoder.attn.linear_out.weight").T)},
-    }
+    if "decoder.attn.linear_in.weight" in state:  # dotprod (Luong)
+        p["decoder"]["attn"] = {
+            "linear_in": {"w": jnp.asarray(_t(state, "decoder.attn.linear_in.weight").T)},
+            "linear_out": {"w": jnp.asarray(_t(state, "decoder.attn.linear_out.weight").T)},
+        }
+    else:  # mlp (Bahdanau): GlobalAttention.__init__ :54-57
+        p["decoder"]["attn"] = {
+            "linear_context": {"w": jnp.asarray(
+                _t(state, "decoder.attn.linear_context.weight").T)},
+            "linear_query": {"w": jnp.asarray(
+                _t(state, "decoder.attn.linear_query.weight").T)},
+            "v": {"w": jnp.asarray(_t(state, "decoder.attn.v.weight").T)},
+        }
     if "decoder.attn.linear_cover.weight" in state:
         # coverage projection (GlobalAttention.__init__ :76-77); dead at
         # reference runtime (no call site passes coverage) but present in
