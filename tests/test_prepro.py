@@ -222,3 +222,78 @@ def test_nmt_preprocess_word_features(tmp_path, capsys):
     # every encoded feature is one of the 4 tags (never UNK: dict unpruned)
     ids = {fdict.lookup(t) for t in pos}
     assert set(np.unique(feat[feat > 0])) <= ids
+
+
+def test_word_features_train_translate_e2e(tmp_path, capsys):
+    """Close the feature loop the fork closes in train.py:370-384: the
+    preprocess artifacts feed NMTDataset (src_feat_* picked up from h5),
+    the featured NMTModel (encoder feature LUTs + merge MLP, fork
+    Models.py:110-125) trains a step and beam-translates — the `￨`
+    surface is consumable end-to-end, not just IO."""
+    import h5py
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from unpaired_image_captioning_tpu.cli import preprocess
+    from unpaired_image_captioning_tpu.data.nmt_dataset import NMTDataset
+    from unpaired_image_captioning_tpu.losses.criterion import nmt_loss
+    from unpaired_image_captioning_tpu.models.nmt import NMTModel
+    from unpaired_image_captioning_tpu.vocab import Dict
+
+    rng = np.random.RandomState(5)
+    pos = ["DT", "NN", "VBD"]
+    src_lines, tgt_lines = [], []
+    for _ in range(16):
+        k = rng.randint(2, 6)
+        src_lines.append(" ".join(
+            f"w{rng.randint(0, 10)}￨{pos[rng.randint(0, 3)]}"
+            for _ in range(k)))
+        tgt_lines.append(" ".join(f"t{rng.randint(0, 8)}"
+                                  for _ in range(rng.randint(1, 5))))
+    (tmp_path / "e.src").write_text("\n".join(src_lines), encoding="utf-8")
+    (tmp_path / "e.tgt").write_text("\n".join(tgt_lines), encoding="utf-8")
+    save = str(tmp_path / "e2e")
+    preprocess.main(["-train_src", str(tmp_path / "e.src"),
+                     "-train_tgt", str(tmp_path / "e.tgt"),
+                     "-save_data", save, "-shuffle", "1"])
+    capsys.readouterr()
+
+    ds = NMTDataset.from_h5(save + ".train.h5", batch_size=4)
+    batch, _ = ds.next_batch()
+    assert batch["src_feats"].shape == batch["src"].shape + (1,)
+
+    sdict = Dict.from_state_dict(json.load(open(save + ".src_dict.json")))
+    tdict = Dict.from_state_dict(json.load(open(save + ".tgt_dict.json")))
+    fdict = Dict.from_state_dict(
+        json.load(open(save + ".src_feature_0.dict.json")))
+    model = NMTModel(src_vocab_size=sdict.size(), tgt_vocab_size=tdict.size(),
+                     word_vec_size=12, rnn_size=16, layers=1, dropout=0.0,
+                     src_feature_sizes=(fdict.size(),), feature_vec_size=6)
+    params = model.init_params(jax.random.PRNGKey(0))
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(p, o, b):
+        def loss_fn(p):
+            outs, _ = model.forward(p, b["src"], b["lengths"], b["tgt"],
+                                    src_feats=b["src_feats"])
+            loss, _ = nmt_loss(model.generator_logits(p, outs),
+                               b["tgt"][:, 1:])
+            return loss
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        up, o = tx.update(grads, o)
+        return optax.apply_updates(p, up), o, loss
+
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    l0 = None
+    for _ in range(8):
+        params, opt_state, loss = step(params, opt_state, jb)
+        l0 = float(loss) if l0 is None else l0
+    assert np.isfinite(float(loss)) and float(loss) < l0
+
+    res = model.translate_batch(params, jb["src"], jb["lengths"],
+                                beam_size=3, max_len=8,
+                                src_feats=jb["src_feats"])
+    assert np.asarray(res.seq).shape[:2] == (4, 3)

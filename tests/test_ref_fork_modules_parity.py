@@ -181,3 +181,60 @@ def test_context_gates_vs_fork_source(onmt_modules):
             ours = jnp.tanh((1.0 - z) * tgt_p + z * src_p)
         np.testing.assert_allclose(np.asarray(ours), out_ref, atol=1e-5,
                                    err_msg=kind)
+
+
+def test_featured_encoder_vs_fork_source(onmt_modules):
+    """`word￨feat` source features through the fork's OWN exec'd Encoder
+    (onmt/Models.py:95-166 Embeddings with feature LUTs + BottleLinear+ReLU
+    merge, :170-268 Encoder) vs our NMTEncoder with feature_sizes — context
+    and (interleave-fixed) finals identity via converted weights."""
+    import onmt.Models as M
+
+    from test_ref_nmt_source_parity import _FakeDict, _opt
+    from unpaired_image_captioning_tpu.models.convert import convert_nmt_model
+    from unpaired_image_captioning_tpu.models.nmt import NMTEncoder
+
+    SV, NE, NH, FV = 20, 10, 12, 6
+    F1, F2 = 9, 7
+    opt = _opt()
+    opt.word_vec_size = NE
+    opt.rnn_size = NH
+    opt.feature_vec_size = FV
+    torch.manual_seed(59)
+    holder = torch.nn.Module()
+    holder.encoder = M.Encoder(opt, _FakeDict(SV),
+                               [_FakeDict(F1), _FakeDict(F2)])
+    holder.decoder = M.Decoder(opt, _FakeDict(SV))  # converter needs both
+    holder.eval()
+    ref = holder.encoder
+
+    state = {k: v.detach().numpy() for k, v in holder.state_dict().items()}
+    params = convert_nmt_model(state, layers=1, brnn=True)
+    ours = NMTEncoder(vocab_size=SV, word_vec_size=NE, rnn_size=NH, layers=1,
+                      brnn=True, dropout=0.0, feature_sizes=(F1, F2),
+                      feature_vec_size=FV)
+
+    rng = np.random.RandomState(21)
+    B, S = 4, 6
+    words = rng.randint(4, SV, (B, S)).astype(np.int64)
+    feats = np.stack([rng.randint(1, F1, (B, S)),
+                      rng.randint(1, F2, (B, S))], axis=-1).astype(np.int64)
+
+    inp = torch.from_numpy(
+        np.concatenate([words[..., None], feats], axis=-1).transpose(1, 0, 2))
+    with torch.no_grad():
+        hidden_t, outputs, _ = ref(inp)
+    ref_ctx = outputs.numpy().transpose(1, 0, 2)            # [B, S, rnn]
+    # _fix_enc_hidden (NMT_Models.py:284-287): interleaved directions ->
+    # concatenated per layer
+    ref_h = np.concatenate([hidden_t[0].numpy()[0::2],
+                            hidden_t[0].numpy()[1::2]], axis=-1)
+    ref_c = np.concatenate([hidden_t[1].numpy()[0::2],
+                            hidden_t[1].numpy()[1::2]], axis=-1)
+
+    ctx, (h, c) = ours.apply(params["encoder"], jnp.asarray(words, jnp.int32),
+                             jnp.full((B,), S, jnp.int32),
+                             src_feats=jnp.asarray(feats, jnp.int32))
+    np.testing.assert_allclose(np.asarray(ctx), ref_ctx, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h), ref_h, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c), ref_c, atol=1e-5)

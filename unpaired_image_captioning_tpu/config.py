@@ -90,6 +90,10 @@ class Config:
     layers: int = 1
     word_vec_size: int = 512
     feature_vec_size: int = 100
+    # `word￨feat` source-feature vocab sizes (one per column), filled from
+    # the preprocess artifacts' *.src_feature_{j}.dict.json when training
+    # a featured corpus (fork train.py:370-384 dicts['src_features'])
+    nmt_src_feature_sizes: tuple = ()
     input_feed: int = 1
     residual: bool = False
     brnn: bool = True

@@ -22,10 +22,15 @@ from .. import constants as C
 
 class NMTDataset:
     def __init__(self, src: np.ndarray, tgt: np.ndarray, batch_size: int,
-                 *, shuffle: bool = False, seed: int = 0):
+                 *, shuffle: bool = False, seed: int = 0, src_feats=None):
         assert src.shape[0] == tgt.shape[0]
         self.src = np.asarray(src, np.int32)
         self.tgt = np.asarray(tgt, np.int32)
+        # `word￨feat` source-feature streams (cli/preprocess src_feat_{j}
+        # h5 datasets): stacked to [N, S, n_feat], batched alongside src
+        self.src_feats = (None if src_feats is None or not len(src_feats)
+                          else np.stack([np.asarray(a, np.int32)
+                                         for a in src_feats], axis=-1))
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.RandomState(seed)
@@ -39,7 +44,11 @@ class NMTDataset:
         import h5py
 
         with h5py.File(path, "r") as f:
-            return cls(f["src"][...], f["tgt"][...], batch_size, **kw)
+            feats = []
+            while f"src_feat_{len(feats)}" in f:
+                feats.append(f[f"src_feat_{len(feats)}"][...])
+            return cls(f["src"][...], f["tgt"][...], batch_size,
+                       src_feats=feats or None, **kw)
 
     @classmethod
     def from_reference_pt(cls, path: str, batch_size: int, **kw) -> "NMTDataset":
@@ -100,4 +109,7 @@ class NMTDataset:
         src = self.src[idx]
         tgt = self.tgt[idx]
         lengths = (src != C.PAD).sum(axis=1).astype(np.int32)
-        return {"src": src, "tgt": tgt, "lengths": lengths}, wrapped
+        batch = {"src": src, "tgt": tgt, "lengths": lengths}
+        if self.src_feats is not None:
+            batch["src_feats"] = self.src_feats[idx]
+        return batch, wrapped

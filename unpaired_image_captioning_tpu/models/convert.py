@@ -429,6 +429,13 @@ def convert_nmt_model(state: Dict[str, np.ndarray], *, layers: int = 1,
         # py2 `feature_dicts=[]` default; see NMTEncoder.emb_mlp)
         p["encoder"]["embeddings"]["linear"] = _linear(
             state, "encoder.embeddings.linear")
+    fluts = []
+    while f"encoder.embeddings.feature_luts.{len(fluts)}.weight" in state:
+        # `word￨feat` source-feature LUTs (fork Models.py:113-117)
+        fluts.append(jnp.asarray(_t(
+            state, f"encoder.embeddings.feature_luts.{len(fluts)}.weight")))
+    if fluts:
+        p["encoder"]["embeddings"]["feature_luts"] = fluts
     for l in range(layers):
         lp = {"fwd": _torch_lstmcell(state, "encoder.rnn",
                                      ih=f"weight_ih_l{l}", hh=f"weight_hh_l{l}",

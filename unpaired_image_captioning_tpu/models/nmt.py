@@ -93,6 +93,13 @@ class NMTEncoder:
     # feature dicts). Off by default here; flip on for main-repo parity
     # (tests/test_ref_nmt_source_parity.py executes that source).
     emb_mlp: bool = False
+    # `word￨feat` source features (fork Models.py:110-125, 153-159): one
+    # LUT of width feature_vec_size per column, concat with the word
+    # embedding, ReLU(BottleLinear(...)) down to word_vec_size. The MLP is
+    # structural once features exist (it restores the embedding width), so
+    # feature_sizes ≠ () implies the emb_mlp path with the wider input.
+    feature_sizes: tuple = ()
+    feature_vec_size: int = 100
 
     @property
     def num_directions(self) -> int:
@@ -107,9 +114,16 @@ class NMTEncoder:
         k0, k1 = jax.random.split(rng)
         p = {"embeddings": embeddings_init(k0, self.vocab_size, self.word_vec_size),
              "layers": []}
-        if self.emb_mlp:
+        if self.feature_sizes:
+            p["embeddings"]["feature_luts"] = [
+                embeddings_init(jax.random.fold_in(k0, 10 + j), n,
+                                self.feature_vec_size)["word_lut"]
+                for j, n in enumerate(self.feature_sizes)]
+        if self.emb_mlp or self.feature_sizes:
             p["embeddings"]["linear"] = linear_init(
-                jax.random.fold_in(k0, 1), self.word_vec_size,
+                jax.random.fold_in(k0, 1),
+                self.word_vec_size
+                + len(self.feature_sizes) * self.feature_vec_size,
                 self.word_vec_size)
         for layer in range(self.layers):
             in_size = (self.word_vec_size if layer == 0
@@ -148,16 +162,26 @@ class NMTEncoder:
         out = out * valid[..., None].astype(out.dtype)
         return out, h_f, c_f
 
-    def apply(self, params, src_ids, lengths, *, training=False, rng=None):
+    def apply(self, params, src_ids, lengths, *, training=False, rng=None,
+              src_feats=None):
         """src_ids: [B, S] int32; lengths: [B]. Returns (context [B, S, rnn],
         (h, c) each [layers, B, rnn]) with bidirectional halves concatenated
         — both between layers (torch bidirectional nn.LSTM semantics) and in
-        the final hidden (parity: NMTModel._fix_enc_hidden, :284-287)."""
+        the final hidden (parity: NMTModel._fix_enc_hidden, :284-287).
+
+        src_feats: [B, S, n_feat] int32 word-feature ids (fork
+        Models.py:153-159), required iff feature_sizes was configured."""
         r = _rngs(rng, 1 + self.layers)
         x = embed_tokens(params["embeddings"], src_ids,
                          position_encoding=self.position_encoding,
                          dropout=self.dropout, training=training, rng=r[0])
-        if self.emb_mlp:
+        if self.feature_sizes:
+            assert src_feats is not None, "encoder configured with features"
+            feats = [lut[src_feats[..., j]]
+                     * (src_feats[..., j] != C.PAD)[..., None].astype(x.dtype)
+                     for j, lut in enumerate(params["embeddings"]["feature_luts"])]
+            x = jnp.concatenate([x] + feats, axis=-1)
+        if self.emb_mlp or self.feature_sizes:
             x = jax.nn.relu(linear(params["embeddings"]["linear"], x))
         finals_h, finals_c = [], []
         for li, lp in enumerate(params["layers"]):
@@ -484,6 +508,9 @@ class NMTModel:
     beam_size: int = 15         # NMT_Models.py:323
     src_emb_mlp: bool = False   # main-repo encoder-embeddings MLP (see
     # NMTEncoder.emb_mlp — a py2 mutable-default accident upstream)
+    src_feature_sizes: tuple = ()   # `word￨feat` source-feature vocab
+    # sizes (fork Models.py:110-125; decoder never takes features, :322)
+    feature_vec_size: int = 100
     remat: bool = False         # rematerialize decoder steps (the TPU-native
     # answer to the reference's sharded MemoryEfficientLoss,
     # onmt/Loss.py:100-213: trade recompute for activation memory)
@@ -492,7 +519,9 @@ class NMTModel:
     def encoder(self) -> NMTEncoder:
         return NMTEncoder(self.src_vocab_size, self.word_vec_size, self.rnn_size,
                           self.layers, self.brnn, self.dropout,
-                          self.position_encoding, emb_mlp=self.src_emb_mlp)
+                          self.position_encoding, emb_mlp=self.src_emb_mlp,
+                          feature_sizes=tuple(self.src_feature_sizes),
+                          feature_vec_size=self.feature_vec_size)
 
     @property
     def decoder(self) -> NMTDecoder:
@@ -518,6 +547,9 @@ class NMTModel:
             position_encoding=cfg.position_encoding,
             share_decoder_embeddings=cfg.share_decoder_embeddings,
             copy_attn=cfg.copy_attn,
+            src_feature_sizes=tuple(
+                getattr(cfg, "nmt_src_feature_sizes", ()) or ()),
+            feature_vec_size=getattr(cfg, "feature_vec_size", 100),
         )
 
     def init_params(self, rng) -> dict:
@@ -664,14 +696,14 @@ class NMTModel:
 
     # ---- training forward --------------------------------------------------
     def forward(self, params, src_ids, src_lengths, tgt_ids, *,
-                training=False, rng=None):
+                training=False, rng=None, src_feats=None):
         """src_ids [B, S]; tgt_ids [B, T] incl. BOS...EOS. Returns decoder
         outputs [B, T-1, rnn] for targets tgt_ids[:, 1:] (parity:
         NMTModel.forward, :414-420 — tgt fed excluding last)."""
         r = _rngs(rng, 2)
         context, enc_hidden = self.encoder.apply(params["encoder"], src_ids,
                                                  src_lengths, training=training,
-                                                 rng=r[0])
+                                                 rng=r[0], src_feats=src_feats)
         state0 = self.decoder.init_state(enc_hidden, context)
         dec = self.decoder
         n_steps = tgt_ids.shape[1] - 1
@@ -699,7 +731,7 @@ class NMTModel:
     def translate_batch(self, params, src_ids, src_lengths, *,
                         beam_size: Optional[int] = None,
                         n_best: int = 1, max_len: Optional[int] = None,
-                        src2tgt=None):
+                        src2tgt=None, src_feats=None):
         """Beam-translate a batch (parity: translateBatch :322-395).
 
         Returns BeamResult with seq [B, beam, T] (BOS excluded, EOS included,
@@ -716,7 +748,8 @@ class NMTModel:
         beam_size = beam_size or self.beam_size
         max_len = max_len or self.max_decode_len
         context, enc_hidden = self.encoder.apply(params["encoder"], src_ids,
-                                                 src_lengths)
+                                                 src_lengths,
+                                                 src_feats=src_feats)
         state0 = self.decoder.init_state(enc_hidden, context)
         s = src_ids.shape[1]
         src_mask = (jnp.arange(s)[None, :] < src_lengths[:, None]).astype(jnp.float32)
