@@ -555,3 +555,63 @@ def test_scst_recompute_gradient_exact(tmp_path, loader):
     np.testing.assert_allclose(np.asarray(flat_a), np.asarray(flat_b),
                                atol=1e-5, rtol=1e-4)
     assert float(jnp.abs(flat_a).max()) > 0
+
+
+def test_featured_nmt_cli_train(tmp_path, capsys):
+    """A `word￨feat` corpus through the train CLI: feature LUT sizes
+    auto-detected from the h5 stream (cli/train.py, fork train.py:370-384
+    dicts['src_features'] role), the featured batch rides the piggyback
+    loader, and the NMT step trains with the feature embeddings engaged."""
+    import os
+
+    from unpaired_image_captioning_tpu.cli import preprocess
+    from unpaired_image_captioning_tpu.cli import train as train_cli
+    from unpaired_image_captioning_tpu.data.synthetic import (
+        make_caption_artifacts)
+
+    jpath, h5path, mem = make_caption_artifacts(str(tmp_path),
+                                                vocab_size=VOCAB)
+    fc_dir, att_dir = str(tmp_path / "fc"), str(tmp_path / "att")
+    os.makedirs(fc_dir), os.makedirs(att_dir)
+    for i, v in mem["fc"].items():
+        np.savez(os.path.join(fc_dir, f"{i}.npz"), feat=v)
+    for i, v in mem["att"].items():
+        np.savez(os.path.join(att_dir, f"{i}.npz"), feat=v)
+
+    rng = np.random.RandomState(11)
+    pos = ["DT", "NN", "VBD"]
+    src_lines, tgt_lines = [], []
+    for _ in range(16):
+        src_lines.append(" ".join(
+            f"w{rng.randint(0, 10)}￨{pos[rng.randint(0, 3)]}"
+            for _ in range(rng.randint(2, 6))))
+        tgt_lines.append(" ".join(f"t{rng.randint(0, 8)}"
+                                  for _ in range(rng.randint(1, 5))))
+    (tmp_path / "f.src").write_text("\n".join(src_lines), encoding="utf-8")
+    (tmp_path / "f.tgt").write_text("\n".join(tgt_lines), encoding="utf-8")
+    save = str(tmp_path / "feat")
+    preprocess.main(["-train_src", str(tmp_path / "f.src"),
+                     "-train_tgt", str(tmp_path / "f.tgt"),
+                     "-save_data", save, "-shuffle", "1"])
+    capsys.readouterr()
+
+    run = str(tmp_path / "runfeat")
+    train_cli.main([
+        "--caption_model", "fc", "--input_json", jpath,
+        "--input_label_h5", h5path, "--input_fc_dir", fc_dir,
+        "--input_att_dir", att_dir,
+        "--i2t_train_flag", "false", "--nmt_train_flag", "true",
+        "--input_nmt_h5", save + ".train.h5",
+        "--batch_size", "4", "--seq_per_img", "2",
+        "--rnn_size", "16", "--input_encoding_size", "16",
+        "--att_hid_size", "12", "--fc_feat_size", "32",
+        "--att_feat_size", "24", "--num_layers", "1",
+        "--word_vec_size", "12", "--layers", "1",
+        "--feature_vec_size", "6",
+        "--max_epochs", "2", "--losses_log_every", "1",
+        "--save_checkpoint_every", "1000",
+        "--checkpoint_path", run, "--id", "featnmt"])
+    out = capsys.readouterr().out
+    losses = [float(l.split("nmt_loss=")[1].split()[0])
+              for l in out.splitlines() if "nmt_loss=" in l]
+    assert len(losses) >= 4 and losses[-1] < losses[0], losses[:6]

@@ -92,6 +92,13 @@ def main(argv=None):
         if not cfg.nmt_src_vocab_size:
             cfg.nmt_src_vocab_size = int(nmt_dataset.src.max()) + 1
             cfg.nmt_tgt_vocab_size = int(nmt_dataset.tgt.max()) + 1
+        if nmt_dataset.src_feats is not None and not cfg.nmt_src_feature_sizes:
+            # featured corpus (`word￨feat` preprocess artifacts): size each
+            # feature LUT from the stream (fork train.py:370-384 sizes them
+            # from dicts['src_features'])
+            cfg.nmt_src_feature_sizes = tuple(
+                int(nmt_dataset.src_feats[..., j].max()) + 1
+                for j in range(nmt_dataset.src_feats.shape[-1]))
     loader = build_loader(cfg, nmt_dataset)
     cfg.vocab_size = loader.vocab.vocab_size
     cfg.seq_length = loader.seq_length

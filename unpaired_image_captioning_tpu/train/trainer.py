@@ -168,8 +168,12 @@ class Trainer:
 
         if self.nmt_model is not None and cfg.nmt_train_flag:
             nb = batch["nmt"]
+            # `word￨feat` streams ride only when the corpus has them (and
+            # only the BiLSTM route consumes them — fork Models.py:192)
+            fk = ({"src_feats": nb["src_feats"]} if "src_feats" in nb else {})
             outs, _ = self.nmt_model.forward(nmt_p, nb["src"], nb["lengths"],
-                                             nb["tgt"], training=True, rng=rng)
+                                             nb["tgt"], training=True, rng=rng,
+                                             **fk)
             logits = self.nmt_model.generator_logits(nmt_p, outs)
             nmt_l, stats = nmt_loss(logits, nb["tgt"][:, 1:],
                                     label_smoothing=cfg.label_smoothing)
@@ -192,7 +196,7 @@ class Trainer:
                     and self.nmt_teacher_params is not None):
                 t_outs, _ = self.nmt_model.forward(
                     jax.lax.stop_gradient(self.nmt_teacher_params),
-                    nb["src"], nb["lengths"], nb["tgt"])
+                    nb["src"], nb["lengths"], nb["tgt"], **fk)
                 t_logits = self.nmt_model.generator_logits(
                     self.nmt_teacher_params, t_outs)
                 t_probs = jax.nn.softmax(
