@@ -53,6 +53,8 @@ def test_forward_shapes(rng):
     dict(attn_transform="sparsemax"),
     dict(attn_transform="constrained_softmax", fertility=2.0),
     dict(attn_transform="constrained_sparsemax", fertility=2.0),
+    # learned per-word fertility bounds (fork Models.py:214-222,275-287)
+    dict(attn_transform="constrained_softmax", predict_fertility=True),
     dict(context_gate="both"),
     dict(coverage_attn=True),
     # opt-in Tu et al. feedback (the reference inits linear_cover but never
@@ -146,3 +148,46 @@ def test_constrained_sparsemax_respects_bounds(rng):
     loose = at.constrained_sparsemax(z, upper_bounds=jnp.full((6, 9), 10.0))
     np.testing.assert_allclose(np.asarray(loose), np.asarray(at.sparsemax(z)),
                                atol=1e-4)
+
+
+def test_fertility_bound_sources(rng):
+    """Upper-bound init sources for the constrained transforms (fork
+    Models.py:455-470 max_word_coverage): predicted per-word fertility
+    changes decode state vs the constant fill; a guided alignment table
+    (utils/fertility.py) overrides both; all three translate."""
+    from unpaired_image_captioning_tpu.utils.fertility import (
+        alignment_fertilities, batch_fertilities)
+
+    src, lengths, _ = make_batch(rng)
+
+    base = tiny_nmt(attn_transform="constrained_softmax", fertility=2.0,
+                    dropout=0.0)
+    pred = tiny_nmt(attn_transform="constrained_softmax", fertility=2.0,
+                    dropout=0.0, predict_fertility=True)
+    p = pred.init_params(rng)
+
+    # predicted head feeds init_state: bounds differ from the constant
+    ctx, hid, fert = pred.encoder.apply(p["encoder"], src, lengths,
+                                        with_fertility=True)
+    st = pred.decoder.init_state(hid, ctx, upper_bounds_init=fert)
+    assert st["upper_bounds"].shape == (B, S)
+    assert not np.allclose(np.asarray(st["upper_bounds"][:, :-1]), 2.0)
+    np.testing.assert_allclose(np.asarray(st["upper_bounds"][:, -1]), 100.0)
+    assert (np.asarray(fert) > 1.0).all()  # 1 + exp(.) > 1
+
+    res = pred.translate_batch(p, src, lengths, beam_size=3, max_len=6)
+    assert np.asarray(res.seq).shape[:2] == (B, 3)
+
+    # guided: per-word table lookup overrides prediction
+    table = alignment_fertilities(["0-0 0-1 1-0"], [[4, 5]], SRC_V)
+    fb = batch_fertilities(table, np.asarray(src))
+    assert fb.shape == (B, S)
+    res2 = pred.translate_batch(p, src, lengths, beam_size=3, max_len=6,
+                                src_fertilities=jnp.asarray(fb))
+    assert np.asarray(res2.seq).shape[:2] == (B, 3)
+
+    # constant-fertility model ignores the extra head params
+    pb = base.init_params(rng)
+    out, _ = base.forward(pb, src, lengths,
+                          jnp.full((B, 4), 4, jnp.int32).at[:, 0].set(C.BOS))
+    assert np.isfinite(np.asarray(out)).all()

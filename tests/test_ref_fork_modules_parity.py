@@ -238,3 +238,110 @@ def test_featured_encoder_vs_fork_source(onmt_modules):
     np.testing.assert_allclose(np.asarray(ctx), ref_ctx, atol=1e-5)
     np.testing.assert_allclose(np.asarray(h), ref_h, atol=1e-5)
     np.testing.assert_allclose(np.asarray(c), ref_c, atol=1e-5)
+
+
+def test_predict_fertility_encoder_vs_fork_source(onmt_modules):
+    """Predicted-fertility head through the fork's OWN exec'd Encoder
+    (onmt/Models.py:214-222 head init, :275-287 1+exp(MLP([out; emb])))
+    vs NMTEncoder(predict_fertility=True) — context + fertility-value
+    identity via converted weights. B=1: the fork reshapes the S-major
+    flat head output with .view(n_batch, s_len) (:286), which only
+    round-trips at batch 1; our side is per-position [B, S] by
+    construction (models/nmt.py NMTEncoder.fertility_values)."""
+    import onmt.Models as M
+
+    from test_ref_nmt_source_parity import _FakeDict, _opt
+    from unpaired_image_captioning_tpu.models.convert import convert_nmt_model
+    from unpaired_image_captioning_tpu.models.nmt import NMTEncoder
+
+    SV, NE, NH = 20, 10, 12
+    opt = _opt()
+    opt.word_vec_size = NE
+    opt.rnn_size = NH
+    opt.predict_fertility = True
+    opt.attn_transform = "constrained_softmax"
+    torch.manual_seed(61)
+    holder = torch.nn.Module()
+    holder.encoder = M.Encoder(opt, _FakeDict(SV))
+    holder.decoder = M.Decoder(opt, _FakeDict(SV))
+    holder.eval()
+    ref = holder.encoder
+
+    state = {k: v.detach().numpy() for k, v in holder.state_dict().items()}
+    params = convert_nmt_model(state, layers=1, brnn=True)
+    ours = NMTEncoder(vocab_size=SV, word_vec_size=NE, rnn_size=NH, layers=1,
+                      brnn=True, dropout=0.0, predict_fertility=True)
+
+    rng = np.random.RandomState(33)
+    S = 7
+    words = rng.randint(4, SV, (1, S)).astype(np.int64)
+    inp = torch.from_numpy(words[..., None].transpose(1, 0, 2))
+    with torch.no_grad():
+        _, outputs, fert_ref = ref(inp)
+    ref_ctx = outputs.numpy().transpose(1, 0, 2)
+
+    ctx, _, fert = ours.apply(params["encoder"],
+                              jnp.asarray(words, jnp.int32),
+                              jnp.full((1,), S, jnp.int32),
+                              with_fertility=True)
+    np.testing.assert_allclose(np.asarray(ctx), ref_ctx, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fert), fert_ref.numpy(),
+                               rtol=2e-5)
+
+
+def test_guided_fertility_table_vs_fork_source(onmt_modules):
+    """Guided-fertility alignment tables vs the fork's OWN exec'd
+    evaluation.py get_fert_dict/getBatchFertilities (:147-191) on
+    single-alignment-per-word fixtures (where the reference's
+    last-pair `fertility_i[a]` indexing slip, :173, coincides with the
+    intended per-word fold — utils/fertility.py docstring)."""
+    import importlib.util as ilu
+
+    from test_ref_nmt_source_parity import FORK, _shim
+    from unpaired_image_captioning_tpu.utils.fertility import (
+        alignment_fertilities, batch_fertilities)
+
+    src = _shim((FORK / "evaluation.py").read_text())
+    # py2-only interpreter state tweaks at module top (evaluation.py:5-6)
+    src = src.replace("reload(sys)", "")
+    src = src.replace('sys.setdefaultencoding("utf-8")', "")
+    ns = {}
+    # evaluation.py imports matplotlib/pylab at module top for its heatmap
+    # helper — exec only through the fertility functions (they sit above
+    # main()) with stubbed heavies
+    import types as _t
+    for heavy in ("matplotlib", "matplotlib.pyplot", "pylab", "seaborn"):
+        sys.modules.setdefault(heavy, _t.ModuleType(heavy))
+    sys.modules["matplotlib"].use = lambda *a, **k: None
+    exec(compile(src, str(FORK / "evaluation.py"), "exec"), ns)
+
+    class _D:
+        def __init__(self, words):
+            self.labelToIdx = {w: i for i, w in enumerate(words)}
+        def size(self):
+            return len(self.labelToIdx)
+        def convertToIdx(self, line, unk):
+            return [self.labelToIdx.get(w, 0) for w in line]
+
+    words = ["w%d" % i for i in range(8)]
+    d = _D(words)
+    train = ["w1 w2 w3", "w4 w5", "w2 w6 w7"]
+    # one alignment pair per source word -> both readings coincide
+    aligns = ["0-0 1-1 2-2", "0-0 1-0", "0-1 1-0 2-2"]
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        tf, af = os.path.join(td, "t.src"), os.path.join(td, "a.txt")
+        open(tf, "w").write("\n".join(train))
+        open(af, "w").write("\n".join(aligns))
+        ref_dict = ns["get_fert_dict"](af, tf, d)
+
+    ids = [[d.labelToIdx[w] for w in line.split()] for line in train]
+    table = alignment_fertilities(aligns, ids, d.size())
+    for idx, fert in ref_dict.items():
+        np.testing.assert_allclose(table[idx], fert, err_msg=str(idx))
+
+    batch = np.array([[1, 2, 3], [4, 5, 0]], np.int64)
+    ref_b = ns["getBatchFertilities"](ref_dict,
+                                      torch.from_numpy(batch)).numpy()
+    np.testing.assert_allclose(batch_fertilities(table, batch), ref_b)

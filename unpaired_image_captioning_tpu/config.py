@@ -113,6 +113,17 @@ class Config:
     attn_transform: str = "softmax"       # softmax|sparsemax|constrained_softmax|constrained_sparsemax
     c_attn: float = 0.0
     fertility: Optional[float] = None
+    # fertility sources for the constrained transforms (opts.py:74-77):
+    # predict = learned per-word head (fork Models.py:214-222,275-287);
+    # guided = fast_align-style alignment file -> per-word max-fertility
+    # table (utils/fertility.py, evaluation.py:147-191). supervised is
+    # mirrored for schema parity but N/A at runtime: the upstream loss
+    # shards keys never added to the shard dict (onmt/Loss.py:203-205
+    # true/predicted_fertility_vals KeyError) — the path cannot execute.
+    predict_fertility: bool = False
+    guided_fertility: Optional[str] = None         # alignment file
+    guided_fertility_source_file: Optional[str] = None
+    supervised_fertility: Optional[str] = None     # N/A (see above)
     position_encoding: bool = False
     share_decoder_embeddings: bool = False
     dropout: float = 0.3

@@ -436,6 +436,14 @@ def convert_nmt_model(state: Dict[str, np.ndarray], *, layers: int = 1,
             state, f"encoder.embeddings.feature_luts.{len(fluts)}.weight")))
     if fluts:
         p["encoder"]["embeddings"]["feature_luts"] = fluts
+    if "encoder.fertility_linear.weight" in state:
+        # predicted-fertility head (fork Models.py:218-222)
+        p["encoder"]["fertility_linear"] = _linear(
+            state, "encoder.fertility_linear")
+        p["encoder"]["fertility_linear_2"] = _linear(
+            state, "encoder.fertility_linear_2")
+        p["encoder"]["fertility_out"] = {"w": jnp.asarray(
+            _t(state, "encoder.fertility_out.weight").T)}
     for l in range(layers):
         lp = {"fwd": _torch_lstmcell(state, "encoder.rnn",
                                      ih=f"weight_ih_l{l}", hh=f"weight_hh_l{l}",

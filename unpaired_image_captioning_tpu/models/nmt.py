@@ -100,6 +100,13 @@ class NMTEncoder:
     # feature_sizes ≠ () implies the emb_mlp path with the wider input.
     feature_sizes: tuple = ()
     feature_vec_size: int = 100
+    # per-word fertility prediction head (fork Models.py:214-222, 275-287):
+    # 1 + exp(W3 relu(W2 relu(W1 [enc_out; emb]))) per source position,
+    # consumed as the constrained-attention upper-bound init instead of the
+    # constant -fertility (Models.py:455-462). The fork reshapes the
+    # S-major flat head output with .view(n_batch, s_len) — correct only
+    # at batch 1 (exec-pinned there); here it is per-position [B, S].
+    predict_fertility: bool = False
 
     @property
     def num_directions(self) -> int:
@@ -125,6 +132,17 @@ class NMTEncoder:
                 self.word_vec_size
                 + len(self.feature_sizes) * self.feature_vec_size,
                 self.word_vec_size)
+        if self.predict_fertility:
+            # fork Models.py:218-222: two hidden layers of width 2*rnn,
+            # bias-free scalar out
+            d2 = 2 * self.rnn_size
+            p["fertility_linear"] = linear_init(
+                jax.random.fold_in(k0, 20),
+                self.rnn_size + self.word_vec_size, d2)
+            p["fertility_linear_2"] = linear_init(
+                jax.random.fold_in(k0, 21), d2, d2)
+            p["fertility_out"] = {"w": linear_init(
+                jax.random.fold_in(k0, 22), d2, 1)["w"]}
         for layer in range(self.layers):
             in_size = (self.word_vec_size if layer == 0
                        else self.hidden_size * self.num_directions)
@@ -162,8 +180,19 @@ class NMTEncoder:
         out = out * valid[..., None].astype(out.dtype)
         return out, h_f, c_f
 
+    def fertility_values(self, params, context, emb_x):
+        """Per-position predicted fertility [B, S] (fork Models.py:281-286:
+        1 + exp of a 2-layer ReLU MLP over [top-layer outputs; embeddings];
+        the dead use_sigmoid_fertility branch is not ported)."""
+        h = jnp.concatenate([context, emb_x], axis=-1)
+        h = jax.nn.relu(linear(params["fertility_linear"], h))
+        h = jax.nn.relu(linear(params["fertility_linear_2"], h))
+        out = jnp.dot(h, params["fertility_out"]["w"],
+                      preferred_element_type=jnp.float32)[..., 0]
+        return 1.0 + jnp.exp(out)
+
     def apply(self, params, src_ids, lengths, *, training=False, rng=None,
-              src_feats=None):
+              src_feats=None, with_fertility=False):
         """src_ids: [B, S] int32; lengths: [B]. Returns (context [B, S, rnn],
         (h, c) each [layers, B, rnn]) with bidirectional halves concatenated
         — both between layers (torch bidirectional nn.LSTM semantics) and in
@@ -183,6 +212,7 @@ class NMTEncoder:
             x = jnp.concatenate([x] + feats, axis=-1)
         if self.emb_mlp or self.feature_sizes:
             x = jax.nn.relu(linear(params["embeddings"]["linear"], x))
+        emb_x = x
         finals_h, finals_c = [], []
         for li, lp in enumerate(params["layers"]):
             out_f, h_f, c_f = self._scan_dir(lp["fwd"], x, lengths, False)
@@ -199,7 +229,11 @@ class NMTEncoder:
             if (training and self.dropout > 0 and r[1 + li] is not None
                     and li + 1 < self.layers):
                 x = _dropout(r[1 + li], x, self.dropout, training)
-        return x, (jnp.stack(finals_h), jnp.stack(finals_c))
+        enc = (x, (jnp.stack(finals_h), jnp.stack(finals_c)))
+        if with_fertility:
+            assert self.predict_fertility
+            return enc + (self.fertility_values(params, x, emb_x),)
+        return enc
 
 
 @dataclasses.dataclass(frozen=True)
@@ -377,9 +411,14 @@ class NMTDecoder:
                 self.attention_type)
         return p
 
-    def init_state(self, enc_hidden, context) -> dict:
+    def init_state(self, enc_hidden, context, upper_bounds_init=None) -> dict:
         """RNNDecoderState parity (:422-486): hidden from encoder, zero
-        input feed, fertility upper bounds reset per sequence."""
+        input feed, fertility upper bounds reset per sequence.
+
+        upper_bounds_init [B, S]: per-position fertility budgets from the
+        predicted-fertility head or a guided-alignment table (fork
+        Models.py:455-470 max_word_coverage sources) — replaces the
+        constant -fertility fill; the <SINK> pin applies either way."""
         h, c = enc_hidden  # [L, B, rnn]
         b = h.shape[1]
         s = context.shape[1]
@@ -391,8 +430,11 @@ class NMTDecoder:
             "t": jnp.zeros((b,), jnp.int32),              # step counter (pos enc)
         }
         if "constrained" in self.attn_transform:
-            fert = self.fertility if self.fertility is not None else 2.0
-            ub = jnp.full((b, s), fert, jnp.float32)
+            if upper_bounds_init is not None:
+                ub = upper_bounds_init.astype(jnp.float32)
+            else:
+                fert = self.fertility if self.fertility is not None else 2.0
+                ub = jnp.full((b, s), fert, jnp.float32)
             ub = ub.at[:, -1].set(100.0)  # <SINK> absorbs residual (:236-238)
             state["upper_bounds"] = ub
         if self.coverage_attn:
@@ -511,6 +553,8 @@ class NMTModel:
     src_feature_sizes: tuple = ()   # `word￨feat` source-feature vocab
     # sizes (fork Models.py:110-125; decoder never takes features, :322)
     feature_vec_size: int = 100
+    predict_fertility: bool = False  # see NMTEncoder.predict_fertility;
+    # effective with the constrained attn transforms (Models.py:455-462)
     remat: bool = False         # rematerialize decoder steps (the TPU-native
     # answer to the reference's sharded MemoryEfficientLoss,
     # onmt/Loss.py:100-213: trade recompute for activation memory)
@@ -521,7 +565,8 @@ class NMTModel:
                           self.layers, self.brnn, self.dropout,
                           self.position_encoding, emb_mlp=self.src_emb_mlp,
                           feature_sizes=tuple(self.src_feature_sizes),
-                          feature_vec_size=self.feature_vec_size)
+                          feature_vec_size=self.feature_vec_size,
+                          predict_fertility=self.predict_fertility)
 
     @property
     def decoder(self) -> NMTDecoder:
@@ -550,6 +595,7 @@ class NMTModel:
             src_feature_sizes=tuple(
                 getattr(cfg, "nmt_src_feature_sizes", ()) or ()),
             feature_vec_size=getattr(cfg, "feature_vec_size", 100),
+            predict_fertility=getattr(cfg, "predict_fertility", False),
         )
 
     def init_params(self, rng) -> dict:
@@ -696,15 +742,26 @@ class NMTModel:
 
     # ---- training forward --------------------------------------------------
     def forward(self, params, src_ids, src_lengths, tgt_ids, *,
-                training=False, rng=None, src_feats=None):
+                training=False, rng=None, src_feats=None,
+                src_fertilities=None):
         """src_ids [B, S]; tgt_ids [B, T] incl. BOS...EOS. Returns decoder
         outputs [B, T-1, rnn] for targets tgt_ids[:, 1:] (parity:
-        NMTModel.forward, :414-420 — tgt fed excluding last)."""
+        NMTModel.forward, :414-420 — tgt fed excluding last).
+
+        src_fertilities [B, S]: guided per-position fertility budgets
+        (utils/fertility.py alignment tables, fork Models.py:463-470) —
+        overrides the predicted/constant upper-bound init."""
         r = _rngs(rng, 2)
-        context, enc_hidden = self.encoder.apply(params["encoder"], src_ids,
-                                                 src_lengths, training=training,
-                                                 rng=r[0], src_feats=src_feats)
-        state0 = self.decoder.init_state(enc_hidden, context)
+        enc = self.encoder.apply(params["encoder"], src_ids,
+                                 src_lengths, training=training,
+                                 rng=r[0], src_feats=src_feats,
+                                 with_fertility=self.predict_fertility
+                                 and src_fertilities is None)
+        context, enc_hidden = enc[0], enc[1]
+        ub0 = src_fertilities if src_fertilities is not None else (
+            enc[2] if len(enc) == 3 else None)
+        state0 = self.decoder.init_state(enc_hidden, context,
+                                         upper_bounds_init=ub0)
         dec = self.decoder
         n_steps = tgt_ids.shape[1] - 1
         step_rngs = (jax.random.split(r[1], n_steps) if r[1] is not None
@@ -731,7 +788,7 @@ class NMTModel:
     def translate_batch(self, params, src_ids, src_lengths, *,
                         beam_size: Optional[int] = None,
                         n_best: int = 1, max_len: Optional[int] = None,
-                        src2tgt=None, src_feats=None):
+                        src2tgt=None, src_feats=None, src_fertilities=None):
         """Beam-translate a batch (parity: translateBatch :322-395).
 
         Returns BeamResult with seq [B, beam, T] (BOS excluded, EOS included,
@@ -747,10 +804,15 @@ class NMTModel:
 
         beam_size = beam_size or self.beam_size
         max_len = max_len or self.max_decode_len
-        context, enc_hidden = self.encoder.apply(params["encoder"], src_ids,
-                                                 src_lengths,
-                                                 src_feats=src_feats)
-        state0 = self.decoder.init_state(enc_hidden, context)
+        enc = self.encoder.apply(params["encoder"], src_ids, src_lengths,
+                                 src_feats=src_feats,
+                                 with_fertility=self.predict_fertility
+                                 and src_fertilities is None)
+        context, enc_hidden = enc[0], enc[1]
+        ub0 = src_fertilities if src_fertilities is not None else (
+            enc[2] if len(enc) == 3 else None)
+        state0 = self.decoder.init_state(enc_hidden, context,
+                                         upper_bounds_init=ub0)
         s = src_ids.shape[1]
         src_mask = (jnp.arange(s)[None, :] < src_lengths[:, None]).astype(jnp.float32)
         ctx = {"context": context, "src_mask": src_mask}
