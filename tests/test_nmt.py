@@ -191,3 +191,55 @@ def test_fertility_bound_sources(rng):
     out, _ = base.forward(pb, src, lengths,
                           jnp.full((B, 4), 4, jnp.int32).at[:, 0].set(C.BOS))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_truncated_decoder_gradient_semantics(rng):
+    """Truncated BPTT (fork train.py:262-270): gradients must not flow
+    across segment boundaries. With segment >= T the grads equal the
+    untruncated model's; with segment 1 the recurrent weights' grads
+    differ (cross-step flow removed) while staying finite."""
+    src, lengths, tgt = make_batch(rng)
+
+    def grads(model):
+        p = tiny_nmt(dropout=0.0).init_params(jax.random.PRNGKey(5))
+
+        def loss_fn(p):
+            outs, _ = model.forward(p, src, lengths, tgt)
+            loss, _ = nmt_loss(model.generator_logits(p, outs), tgt[:, 1:])
+            return loss
+        return jax.grad(loss_fn)(p)
+
+    g_full = grads(tiny_nmt(dropout=0.0))
+    g_same = grads(tiny_nmt(dropout=0.0, truncated_decoder=T))
+    g_cut = grads(tiny_nmt(dropout=0.0, truncated_decoder=1))
+
+    leaves_full = jax.tree.leaves(g_full)
+    leaves_same = jax.tree.leaves(g_same)
+    leaves_cut = jax.tree.leaves(g_cut)
+    for a, b in zip(leaves_full, leaves_same):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves_cut)
+    diff = sum(float(jnp.sum(jnp.abs(a - b)))
+               for a, b in zip(leaves_full, leaves_cut))
+    assert diff > 1e-3, "segment-1 truncation changed no gradient"
+
+
+def test_pretrained_embedding_load(rng, tmp_path):
+    """pre_word_vecs_enc/dec (fork train.py:442-443): word LUTs replaced
+    from .npz/.npy artifacts, shape-checked."""
+    model = tiny_nmt()
+    params = model.init_params(rng)
+    enc_t = np.random.RandomState(0).randn(SRC_V, 16).astype(np.float32)
+    dec_t = np.random.RandomState(1).randn(TGT_V, 16).astype(np.float32)
+    np.savez(tmp_path / "enc.npz", embedding=enc_t)
+    np.save(tmp_path / "dec.npy", dec_t)
+    params = model.load_pretrained_embeddings(
+        params, enc_path=str(tmp_path / "enc.npz"),
+        dec_path=str(tmp_path / "dec.npy"))
+    np.testing.assert_allclose(
+        np.asarray(params["encoder"]["embeddings"]["word_lut"]), enc_t)
+    np.testing.assert_allclose(
+        np.asarray(params["decoder"]["embeddings"]["word_lut"]), dec_t)
+    with pytest.raises(AssertionError):
+        model.load_pretrained_embeddings(
+            params, enc_path=str(tmp_path / "dec.npy"))

@@ -66,8 +66,10 @@ def main(argv=None):
     nmt_valid = None
     nmt_dicts = {}
     if cfg.nmt_train_flag and cfg.input_nmt_h5:
-        nmt_dataset = NMTDataset.from_h5(cfg.input_nmt_h5, cfg.batch_size,
-                                         shuffle=True, seed=cfg.seed)
+        nmt_dataset = NMTDataset.from_h5(
+            cfg.input_nmt_h5, cfg.batch_size, shuffle=True, seed=cfg.seed,
+            curriculum=getattr(cfg, "curriculum", 0),
+            batch_shuffle=getattr(cfg, "extra_shuffle", False))
         valid_path = cfg.input_nmt_h5.replace("train", "valid")
         if valid_path != cfg.input_nmt_h5 and os.path.exists(valid_path):
             nmt_valid = NMTDataset.from_h5(valid_path, cfg.batch_size)

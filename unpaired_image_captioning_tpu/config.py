@@ -128,6 +128,19 @@ class Config:
     share_decoder_embeddings: bool = False
     dropout: float = 0.3
     nmt_model_type: str = "rnn"           # rnn | transformer (train.sh zh2en recipe)
+    # opts.py/fork-train.py schema mirrors (round 5):
+    encoder_layer: str = "rnn"   # rnn | transformer (fork twin); "mean" is
+    # N/A-by-broken-upstream (Models.py:251-255 2-tuple vs 3-unpack :598)
+    decoder_layer: str = "rnn"
+    curriculum: int = 0          # length-sorted batch order for N epochs
+    extra_shuffle: bool = False  # permute batch blocks each epoch
+    truncated_decoder: int = 0   # truncated-BPTT segment (models/nmt.py)
+    pre_word_vecs_enc: str = ""  # pretrained src embeddings (.npy/.npz)
+    pre_word_vecs_dec: str = ""  # pretrained tgt embeddings
+    input_nmt_align: str = ""    # mirrored; consumption commented out
+    # upstream (dataloader.py:80)
+    input_box_keep_boxes_dir: str = ""  # mirrored; stored but never read
+    # upstream (dataloader.py:73 is its only appearance)
     label_smoothing: float = 0.0          # NMT label smoothing (transformer recipe)
     nmt_src_vocab_size: int = 0           # filled from data
     nmt_tgt_vocab_size: int = 0

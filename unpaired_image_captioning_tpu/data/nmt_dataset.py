@@ -22,7 +22,14 @@ from .. import constants as C
 
 class NMTDataset:
     def __init__(self, src: np.ndarray, tgt: np.ndarray, batch_size: int,
-                 *, shuffle: bool = False, seed: int = 0, src_feats=None):
+                 *, shuffle: bool = False, seed: int = 0, src_feats=None,
+                 curriculum: int = 0, batch_shuffle: bool = False):
+        """curriculum (fork train.py:245-258 `-curriculum`): keep the
+        corpus's length-sorted order for the first N epochs before any
+        shuffling. batch_shuffle (`-extra_shuffle`): permute batch-sized
+        BLOCKS each epoch instead of samples — preserves the
+        length-homogeneous batches the bucketed corpus order gives, like
+        the fork's batchOrder=randperm(numBatches)."""
         assert src.shape[0] == tgt.shape[0]
         self.src = np.asarray(src, np.int32)
         self.tgt = np.asarray(tgt, np.int32)
@@ -33,11 +40,31 @@ class NMTDataset:
                                          for a in src_feats], axis=-1))
         self.batch_size = batch_size
         self.shuffle = shuffle
+        self.curriculum = curriculum
+        self.batch_shuffle = batch_shuffle
         self.rng = np.random.RandomState(seed)
+        self.epoch = 0
         self.order = np.arange(len(self.src))
-        if shuffle:
-            self.rng.shuffle(self.order)
+        self._maybe_shuffle()
         self.batch_idx = 0
+
+    def _maybe_shuffle(self) -> None:
+        if self.epoch < self.curriculum:
+            self.order = np.arange(len(self.src))
+            return
+        if self.batch_shuffle:
+            n = len(self.src)
+            base = np.arange(n)
+            nb = (n + self.batch_size - 1) // self.batch_size
+            perm = self.rng.permutation(nb)
+            self.order = np.concatenate(
+                [base[b * self.batch_size:(b + 1) * self.batch_size]
+                 for b in perm])
+        elif self.shuffle:
+            # in-place on the current order — preserves the exact
+            # permutation stream of prior releases (the golden recipe
+            # fixture and resume-reproducibility tests pin it)
+            self.rng.shuffle(self.order)
 
     @classmethod
     def from_h5(cls, path: str, batch_size: int, **kw) -> "NMTDataset":
@@ -83,11 +110,13 @@ class NMTDataset:
         # (tests/test_joint_recipe.py::test_joint_recipe_resume_reproduces)
         r = self.rng.get_state()
         return {"batch_idx": self.batch_idx, "order": self.order.tolist(),
+                "epoch": self.epoch,
                 "rng": [r[0], np.asarray(r[1]).tolist(), r[2], r[3], r[4]]}
 
     def load_state_dict(self, state: dict) -> None:
         self.batch_idx = state["batch_idx"]
         self.order = np.asarray(state["order"], np.int64)
+        self.epoch = state.get("epoch", 0)
         if "rng" in state:
             r = state["rng"]
             self.rng.set_state((r[0], np.asarray(r[1], np.uint32), int(r[2]),
@@ -104,8 +133,8 @@ class NMTDataset:
         self.batch_idx += 1
         if wrapped:
             self.batch_idx = 0
-            if self.shuffle:
-                self.rng.shuffle(self.order)
+            self.epoch += 1
+            self._maybe_shuffle()
         src = self.src[idx]
         tgt = self.tgt[idx]
         lengths = (src != C.PAD).sum(axis=1).astype(np.int32)

@@ -558,6 +558,11 @@ class NMTModel:
     remat: bool = False         # rematerialize decoder steps (the TPU-native
     # answer to the reference's sharded MemoryEfficientLoss,
     # onmt/Loss.py:100-213: trade recompute for activation memory)
+    truncated_decoder: int = 0  # truncated BPTT segment length (fork
+    # train.py:262-270 `-truncated_decoder`: batch.truncate + detached
+    # decoder state between segments, gradients accumulated across them —
+    # here one scan with the carry stop-gradiented at segment boundaries,
+    # the same gradient semantics without leaving the compiled loop)
 
     @property
     def encoder(self) -> NMTEncoder:
@@ -596,7 +601,31 @@ class NMTModel:
                 getattr(cfg, "nmt_src_feature_sizes", ()) or ()),
             feature_vec_size=getattr(cfg, "feature_vec_size", 100),
             predict_fertility=getattr(cfg, "predict_fertility", False),
+            truncated_decoder=getattr(cfg, "truncated_decoder", 0),
         )
+
+    @staticmethod
+    def load_pretrained_embeddings(params, *, enc_path=None, dec_path=None):
+        """Overwrite the word LUTs with pretrained tables (fork
+        train.py:442-443 load_pretrained_vectors; Models.py:136-139 —
+        there a torch.load'd tensor, here .npy or .npz with an
+        `embedding` array). Shape must match [vocab, word_vec]."""
+        import numpy as _np
+
+        def _load(path):
+            blob = _np.load(path)
+            arr = blob["embedding"] if hasattr(blob, "files") else blob
+            return jnp.asarray(_np.asarray(arr, _np.float32))
+
+        for path, side in ((enc_path, "encoder"), (dec_path, "decoder")):
+            if not path:
+                continue
+            table = _load(path)
+            cur = params[side]["embeddings"]["word_lut"]
+            assert table.shape == cur.shape, (
+                f"{side} pretrained embeddings {table.shape} vs {cur.shape}")
+            params[side]["embeddings"]["word_lut"] = table.astype(cur.dtype)
+        return params
 
     def init_params(self, rng) -> dict:
         k1, k2, k3 = jax.random.split(rng, 3)
@@ -767,9 +796,18 @@ class NMTModel:
         step_rngs = (jax.random.split(r[1], n_steps) if r[1] is not None
                      else jnp.zeros((n_steps, 2), jnp.uint32))
 
+        trunc = self.truncated_decoder
+
         def body(state, inp):
-            tok, srng = inp
+            tok, srng, idx = inp
             srng = srng if training and rng is not None else None
+            if trunc:
+                # segment boundary: detach the carry (fork train.py:262-270
+                # truncated-BPTT semantics — no gradient across segments)
+                cut = jnp.logical_and(idx > 0, idx % trunc == 0)
+                state = jax.tree.map(
+                    lambda x: jnp.where(cut, jax.lax.stop_gradient(x), x),
+                    state)
             out, attn, state = dec.step(params["decoder"], context, state, tok,
                                         training=training, rng=srng)
             extra = state["copy_attn"] if self.copy_attn else attn
@@ -777,8 +815,9 @@ class NMTModel:
 
         if self.remat:
             body = jax.checkpoint(body)
-        _, (outs, attns, extras) = jax.lax.scan(body, state0,
-                                                (tgt_ids[:, :-1].T, step_rngs))
+        _, (outs, attns, extras) = jax.lax.scan(
+            body, state0,
+            (tgt_ids[:, :-1].T, step_rngs, jnp.arange(n_steps)))
         if self.copy_attn:
             return jnp.moveaxis(outs, 0, 1), (jnp.moveaxis(attns, 0, 1),
                                               jnp.moveaxis(extras, 0, 1))

@@ -57,6 +57,18 @@ class Trainer:
                           if cfg.nmt_src_vocab_size else None)
         self.nmt_params = (self.nmt_model.init_params(k2)
                            if self.nmt_model else None)
+        if self.nmt_params is not None and (
+                getattr(cfg, "pre_word_vecs_enc", "")
+                or getattr(cfg, "pre_word_vecs_dec", "")):
+            # fork train.py:442-443 load_pretrained_vectors (the fork only
+            # wires this for the RNN route's Embeddings)
+            from ..models.nmt import NMTModel as _NMT
+
+            assert isinstance(self.nmt_model, _NMT), \
+                "pre_word_vecs_* applies to the BiLSTM NMT route"
+            self.nmt_params = _NMT.load_pretrained_embeddings(
+                self.nmt_params, enc_path=cfg.pre_word_vecs_enc,
+                dec_path=cfg.pre_word_vecs_dec)
 
         # frozen teacher for the KLD distillation path (criterion.py:285-292,
         # nmt_kld_train_flag)
