@@ -152,3 +152,53 @@ def test_pivot_with_copy_attn(rng):
     en = np.asarray(en)
     assert en.max() < TGT_V  # extended ids collapsed
     assert np.asarray(aux).min() >= 0
+
+
+def test_copy_fold_logprobs_values(rng):
+    """copy_generator_fold_logprobs == a numpy re-derivation of the
+    reference's decode-time scoring (CopyGenerator.py:36-48 +
+    Translator.py:207-226): UNK/PAD logits -inf before softmax, copy mass
+    folded onto align-mapped ids, PAD-aligned mass dropped, log of the
+    sub-normalized result. (Exec parity vs the fork's own Translator:
+    tests/test_ref_nmt_source_parity.py.)"""
+    model = NMTModel(src_vocab_size=SRC_V, tgt_vocab_size=TGT_V,
+                     word_vec_size=16, rnn_size=24, layers=1, copy_attn=True)
+    params = model.init_params(rng)
+    src, lengths, tgt = make_batch(jax.random.fold_in(rng, 1))
+    outs, (attns, copy_attns) = model.forward(params, src, lengths, tgt)
+
+    src2tgt = np.full((SRC_V,), C.PAD, np.int32)
+    src2tgt[5:20] = (np.arange(5, 20) % (TGT_V - 4)) + 4
+
+    lp = np.asarray(model.copy_generator_fold_logprobs(
+        params, outs, copy_attns, src, jnp.asarray(src2tgt)))
+
+    logits = np.asarray(model.generator_logits(params, outs), np.float64)
+    logits[..., C.UNK] = -np.inf
+    logits[..., C.PAD] = -np.inf
+    p_vocab = np.exp(logits - logits.max(-1, keepdims=True))
+    p_vocab /= p_vocab.sum(-1, keepdims=True)
+    from unpaired_image_captioning_tpu.models.base import linear
+    g = np.asarray(jax.nn.sigmoid(
+        linear(params["copy_gate"], outs).astype(jnp.float32)), np.float64)
+    out = (1.0 - g) * p_vocab
+    a = np.asarray(copy_attns, np.float64)
+    for b in range(B):
+        for j in range(S):
+            v = int(src2tgt[int(np.asarray(src)[b, j])])
+            if v != C.PAD:
+                out[b, :, v] += g[b, :, 0] * a[b, :, j]
+    np.testing.assert_allclose(lp, np.log(np.maximum(out, 1e-20)),
+                               atol=1e-4, rtol=1e-4)
+    # sub-normalized: dropped unmapped copy mass keeps row sums <= 1
+    assert (np.exp(lp).sum(-1) <= 1.0 + 1e-4).all()
+
+    # fold-mode beam decode stays in the plain vocab and never emits the
+    # masked UNK/PAD mid-hypothesis
+    res = model.translate_batch(params, src, lengths, beam_size=3,
+                                src2tgt=jnp.asarray(src2tgt),
+                                copy_mode="fold")
+    seq = np.asarray(res.seq)
+    assert seq.max() < TGT_V
+    live = np.cumprod(seq != C.EOS, axis=-1).astype(bool)  # pre-EOS slots
+    assert (seq[live] != C.UNK).all() and (seq[live] != C.PAD).all()

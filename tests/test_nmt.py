@@ -243,3 +243,91 @@ def test_pretrained_embedding_load(rng, tmp_path):
     with pytest.raises(AssertionError):
         model.load_pretrained_embeddings(
             params, enc_path=str(tmp_path / "dec.npy"))
+
+
+def test_gold_scores_matches_nll(rng):
+    """gold_scores == per-sentence -NLL under the same generator — the
+    semantics the fork's `translate.py -tgt` ADVERTISES (GOLD SCORE /
+    reportScore:74-77). The reference's own scoring cannot execute: the
+    fork's block reads `upper_bounds` unbound (Translator.py:159) and the
+    main repo leaves goldScores at zeros (NMT_Models.py:334-335), so this
+    is pinned to the loss criterion instead of an exec'd source."""
+    model = tiny_nmt(dropout=0.0)
+    params = model.init_params(rng)
+    k1, k2 = jax.random.split(jax.random.fold_in(rng, 7))
+    src = jax.random.randint(k1, (B, S), 4, SRC_V)
+    lengths = jnp.full((B,), S, jnp.int32)
+    tgt = jax.random.randint(k2, (B, T), 4, TGT_V)
+    tgt = tgt.at[:, 0].set(C.BOS).at[:, -1].set(C.EOS)
+    tgt = tgt.at[3, 3:].set(C.PAD)  # ragged gold row
+
+    gs = np.asarray(model.gold_scores(params, src, lengths, tgt))
+    assert gs.shape == (B,)
+
+    outs, _ = model.forward(params, src, lengths, tgt)
+    logits = model.generator_logits(params, outs)
+    _, stats = nmt_loss(logits, tgt[:, 1:])
+    np.testing.assert_allclose(gs.sum(), -float(stats.loss), rtol=1e-5)
+
+    # vectorization: each row equals its own single-sentence score
+    for b in range(B):
+        one = np.asarray(model.gold_scores(
+            params, src[b:b + 1], lengths[b:b + 1], tgt[b:b + 1]))
+        np.testing.assert_allclose(gs[b], one[0], rtol=1e-5, atol=1e-5)
+
+
+def test_translate_cli_tgt_gold_report(tmp_path, capsys):
+    """translate CLI -tgt route: per-run GOLD AVG SCORE / GOLD PPL printed
+    from gold_scores (fork translate.py:134-136,180 + reportScore)."""
+    import json
+    import os
+
+    from unpaired_image_captioning_tpu.cli import translate as translate_cli
+    from unpaired_image_captioning_tpu.train.checkpoint import (save_json,
+                                                                save_pytree)
+    from unpaired_image_captioning_tpu.vocab import Dict
+
+    model = tiny_nmt(dropout=0.0)
+    params = model.init_params(jax.random.PRNGKey(3))
+    run = tmp_path / "run"
+    os.makedirs(run)
+    import dataclasses
+
+    save_json(str(run / "nmt_config.json"),
+              {"model_type": "rnn", **dataclasses.asdict(model)})
+    save_pytree(str(run / "model_nmt.msgpack"), params)
+    sd = Dict([C.PAD_WORD, C.UNK_WORD, C.BOS_WORD, C.EOS_WORD])
+    td = Dict([C.PAD_WORD, C.UNK_WORD, C.BOS_WORD, C.EOS_WORD])
+    for i in range(4, SRC_V):
+        sd.add(f"w{i}")
+    for i in range(4, TGT_V):
+        td.add(f"t{i}")
+    with open(run / "src_dict.json", "w") as f:
+        json.dump(sd.state_dict(), f)
+    with open(run / "tgt_dict.json", "w") as f:
+        json.dump(td.state_dict(), f)
+
+    (tmp_path / "in.src").write_text("w4 w5 w6\nw7 w8\n", encoding="utf-8")
+    (tmp_path / "in.tgt").write_text("t4 t5\nt6 t7 t8\n", encoding="utf-8")
+    out = tmp_path / "pred.txt"
+    translate_cli.main(["-model", str(run), "-src", str(tmp_path / "in.src"),
+                        "-tgt", str(tmp_path / "in.tgt"),
+                        "-output", str(out), "-beam_size", "2",
+                        "-max_sent_length", "8"])
+    printed = capsys.readouterr().out
+    assert "PRED AVG SCORE:" in printed and "GOLD AVG SCORE:" in printed
+    assert out.exists()
+
+    # the reported gold average reproduces gold_scores on the same ids
+    src = np.zeros((2, 3), np.int32)
+    src[0] = [sd.lookup("w4"), sd.lookup("w5"), sd.lookup("w6")]
+    src[1, :2] = [sd.lookup("w7"), sd.lookup("w8")]
+    lengths = np.array([3, 2], np.int32)
+    tgt = np.zeros((2, 5), np.int32)
+    tgt[0, :4] = [C.BOS, td.lookup("t4"), td.lookup("t5"), C.EOS]
+    tgt[1] = [C.BOS, td.lookup("t6"), td.lookup("t7"), td.lookup("t8"), C.EOS]
+    gs = np.asarray(model.gold_scores(params, jnp.asarray(src),
+                                      jnp.asarray(lengths), jnp.asarray(tgt)))
+    want = gs.sum() / 5.0  # 5 gold words
+    got = float(printed.split("GOLD AVG SCORE: ")[1].split(",")[0])
+    np.testing.assert_allclose(got, want, atol=5e-4)

@@ -81,6 +81,26 @@ def _shim(src: str) -> str:
     # only reading that executes, and the one the accumulation intends
     src = src.replace("(coverage + attn) if coverage else attn",
                       "(coverage + attn) if coverage is not None else attn")
+    # torch-0.3 scalar indexing (Translator.py:224 copy fold,
+    # Loss.py:135 Statistics): `.data[0]` on a 0-dim tensor is an
+    # IndexError on every modern torch — int()/float() are the same
+    # scalar reads
+    src = src.replace("v = self.align[words[0, c].data[0]]",
+                      "v = self.align[int(words[0, c])]")
+    src = src.replace("return Statistics(loss_t.data[0],",
+                      "return Statistics(float(loss_t.data),")
+    # torch-0.3 numel-matched elementwise ops (Loss.py:129-136 score):
+    # pred_t is the flattened [t*B] argmax while targ_t stays [t, B] —
+    # modern torch needs the explicit same-numel flatten
+    src = src.replace("num_correct_t = pred_t.eq(targ_t.data)",
+                      "num_correct_t = pred_t.eq(targ_t.data.reshape(-1))")
+    src = src.replace(".masked_select(non_padding)",
+                      ".masked_select(non_padding.reshape(-1))")
+    # same numel-matching in CopyCriterion (CopyGenerator.py:67): out is
+    # the flattened [t*B] log-prob row, targ stays [t, B]
+    src = src.replace(
+        "out = out.mul(targ.ne(onmt.Constants.PAD).float())",
+        "out = out.mul(targ.ne(onmt.Constants.PAD).float().reshape(-1))")
     # GlobalAttention.py:135 c_attn bias: cat([B,S-1] with [B]) along dim 1
     # needs the legacy implicit-unsqueeze; modern torch wants same ndim.
     # Same values, explicit [B,1] zeros column.
@@ -410,3 +430,96 @@ def test_nmt_beam15_context_gate_vs_reference_source(ref_nmt_ns):
         np.testing.assert_allclose(scores[b, 0], float(allScores[0][0]),
                                    atol=1e-3)
         assert (seqs[b, 0, t_stop:] == PAD).all()
+
+
+def test_nmt_beam15_copy_attn_vs_reference_fork_translator(ref_nmt_ns):
+    """Copy-attention beam-15 decode vs the fork's OWN exec'd
+    Translator.translateBatch copy path (onmt/Translator.py:127-283):
+    the separate copy GlobalAttention (Models.py:356-360, 537-540), the
+    CopyGenerator gate with UNK/PAD logits pinned to -inf
+    (CopyGenerator.py:36-48), the align fold `out[b, v] += c_attn_t[b, c]`
+    for align != PAD, and beam advance on the log of the resulting
+    SUB-normalized distribution — the last transcription-only NMT decode
+    surface. Ours runs translate_batch(copy_mode="fold").
+
+    The Translator torch.load's a checkpoint in __init__, so it is
+    instantiated without __init__ and every attribute translateBatch reads
+    (opt/tt/beam_accum/copy_attn/_type/fert_dict/align/model) is set to
+    exactly what __init__ would have built from such a checkpoint."""
+    import importlib
+
+    import onmt
+
+    RefTranslator = importlib.import_module("onmt.Translator").Translator
+
+    opt = _opt()
+    opt.copy_attn = True
+    torch.manual_seed(37)
+    enc = onmt.Models.Encoder(opt, _FakeDict(SV))
+    dec = onmt.Models.Decoder(opt, _FakeDict(TV))
+    ref = onmt.Models.NMTModel(enc, dec)
+    gen = onmt.modules.CopyGenerator(opt, _FakeDict(SV), _FakeDict(TV))
+    with torch.no_grad():
+        # terminate untrained beams (see _beam_pair_check's eos_bias note)
+        gen.linear.bias[EOS] += 2.5
+    ref.generator = gen
+    ref.eval()
+
+    # Dict.align map (onmt/Dict.py:49-55): shared specials map to
+    # themselves, some content ids map to a target id, the rest stay PAD
+    # (unmapped -> their copy mass is DROPPED by the fold)
+    rng = np.random.RandomState(11)
+    align = np.full((SV,), PAD, np.int64)
+    align[[PAD, UNK, BOS, EOS]] = [PAD, UNK, BOS, EOS]
+    for i in range(4, SV):
+        if rng.rand() < 0.6:
+            align[i] = rng.randint(4, TV)
+
+    tr = object.__new__(RefTranslator)
+    tr.opt = types.SimpleNamespace(beam_size=15, max_sent_length=100,
+                                   n_best=1, cuda=False, replace_unk=False,
+                                   batch_size=16)
+    tr.tt = torch
+    tr.beam_accum = None
+    tr.copy_attn = True
+    tr._type = "text"
+    tr.fert_dict = None
+    tr.align = align.tolist()
+    tr.model = ref
+
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_nmt_model(state, layers=1, brnn=True)
+    ours = NMTModel(src_vocab_size=SV, tgt_vocab_size=TV, word_vec_size=NE,
+                    rnn_size=NH, layers=1, dropout=0.0, copy_attn=True)
+
+    Bn, S, K, MAXL = 3, 6, 15, 100
+    lens = np.full((Bn,), S, np.int32)  # uniform => no pad columns (the
+    # fork's copy GlobalAttention is never given the pad mask — only
+    # decoder.attn gets applyMask, Translator.py:140-141,189)
+    src = rng.randint(4, SV, size=(Bn, S)).astype(np.int32)
+
+    res = ours.translate_batch(params, jnp.asarray(src), jnp.asarray(lens),
+                               beam_size=K, max_len=MAXL,
+                               src2tgt=jnp.asarray(align.astype(np.int32)),
+                               copy_mode="fold")
+    seqs, scores = np.asarray(res.seq), np.asarray(res.scores)
+    aux = np.asarray(res.aux)
+
+    for b in range(Bn):
+        data = onmt.Dataset(
+            [torch.from_numpy(src[b].astype(np.int64))], None,
+            tr.opt.batch_size, False, volatile=True, data_type="text")
+        batch = data[0]
+        with torch.no_grad():
+            allHyp, allScores, allAttn, _ = tr.translateBatch(batch)
+        ref_hyp = [int(x) for x in allHyp[0][0]]
+        t_stop = len(ref_hyp)
+        got = seqs[b, 0, :t_stop].tolist()
+        np.testing.assert_array_equal(got, ref_hyp,
+                                      err_msg=f"b={b}: {got} vs {ref_hyp}")
+        np.testing.assert_allclose(scores[b, 0], float(allScores[0][0]),
+                                   atol=1e-3)
+        assert (seqs[b, 0, t_stop:] == PAD).all()
+        ref_attn = [int(a.argmax()) for a in allAttn[0][0]]
+        np.testing.assert_array_equal(aux[b, 0, :t_stop].tolist(), ref_attn,
+                                      err_msg=f"b={b}")

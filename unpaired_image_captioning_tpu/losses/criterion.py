@@ -136,11 +136,43 @@ def kld_loss(logprobs_student, probs_teacher) -> jax.Array:
     return jnp.mean(jnp.sum(kl, axis=-1))
 
 
+def ref_exhaustion_loss(upper_bounds_seq, *, shard_size: int,
+                        lambda_exhaust: float) -> jax.Array:
+    """The reference's EXACT exhaustion term, exec-parity form
+    (onmt/Loss.py:190-205 inside the shard loop): for each
+    max_generator_batches-sized TIME shard, take the upper bounds at the
+    shard's LAST timestep, drop the <SINK> column, and sum — so the value
+    depends on the shard size, not just the final state (the term is
+    re-added once per shard). upper_bounds_seq: [B, T, S] per-step bounds
+    AFTER each step's attention subtraction. Exec-pinned vs the fork's own
+    MemoryEfficientLoss in tests/test_ref_fork_loss_parity.py."""
+    t = upper_bounds_seq.shape[1]
+    last_steps = [min(k + shard_size, t) - 1
+                  for k in range(0, t, shard_size)]
+    u = upper_bounds_seq[:, jnp.asarray(last_steps), :-1]  # drop <SINK>
+    return lambda_exhaust * jnp.sum(u)
+
+
+def ref_coverage_loss(coverage_seq, attn_seq, *,
+                      lambda_coverage: float) -> jax.Array:
+    """The reference's EXACT coverage term (onmt/Loss.py:186-188):
+    lambda * sum(min(coverage_t, attn_t)) over all steps. Shard-invariant
+    (elementwise sum). Upstream this only EXECUTES together with
+    copy_loss — `s["attn_t"]` is only sharded when copy_loss is on
+    (Loss.py:166-168), so attn_seq is the COPY attention there; without
+    copy_loss the reference KeyErrors. coverage_seq/attn_seq: [B, T, S]."""
+    return lambda_coverage * jnp.sum(
+        jnp.minimum(coverage_seq.astype(jnp.float32),
+                    attn_seq.astype(jnp.float32)))
+
+
 def attention_regularizers(attns, *, upper_bounds=None, coverage=None,
                            lambda_exhaust: float = 0.001,
                            lambda_coverage: float = 1.0) -> jax.Array:
-    """Attention-budget penalties (parity: onmt/Loss.py:186-205 —
-    exhaustion/coverage/fertility terms added to the sharded loss).
+    """Attention-budget penalties — this framework's own smoothed variants
+    of the reference's exhaustion/coverage terms (onmt/Loss.py:186-205;
+    for the reference's exact per-shard terms use ref_exhaustion_loss /
+    ref_coverage_loss, exec-pinned).
 
     - exhaustion: penalize leftover fertility budget on real source slots
       (everything the <SINK> column didn't absorb);

@@ -485,8 +485,30 @@ def convert_nmt_model(state: Dict[str, np.ndarray], *, layers: int = 1,
             "source_proj": _linear(state, gp + ".source_proj"),
             "target_proj": _linear(state, gp + ".target_proj"),
         }
+    if "decoder.copy_attn.linear_in.weight" in state:
+        # separate copy GlobalAttention, dotprod (fork Models.py:356-360)
+        p["decoder"]["copy_attn"] = {
+            "linear_in": {"w": jnp.asarray(
+                _t(state, "decoder.copy_attn.linear_in.weight").T)},
+            "linear_out": {"w": jnp.asarray(
+                _t(state, "decoder.copy_attn.linear_out.weight").T)},
+        }
+    elif "decoder.copy_attn.linear_context.weight" in state:  # mlp variant
+        p["decoder"]["copy_attn"] = {
+            "linear_context": {"w": jnp.asarray(
+                _t(state, "decoder.copy_attn.linear_context.weight").T)},
+            "linear_query": {"w": jnp.asarray(
+                _t(state, "decoder.copy_attn.linear_query.weight").T)},
+            "v": {"w": jnp.asarray(
+                _t(state, "decoder.copy_attn.v.weight").T)},
+        }
     if "generator.0.weight" in state:
         p["generator"] = _linear(state, "generator.0")
+    elif "generator.linear.weight" in state:
+        # CopyGenerator (onmt/modules/CopyGenerator.py:17-18):
+        # .linear is the vocab projection, .linear_copy the copy gate
+        p["generator"] = _linear(state, "generator.linear")
+        p["copy_gate"] = _linear(state, "generator.linear_copy")
     elif "generator.weight" in state:
         p["generator"] = _linear(state, "generator")
     return p

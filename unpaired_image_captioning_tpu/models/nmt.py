@@ -645,16 +645,18 @@ class NMTModel:
 
     def copy_generator_logprobs(self, params, outputs, copy_attns, src_ids,
                                 src2tgt):
-        """CopyGenerator mixing (parity: onmt/modules/CopyGenerator.py and
-        the nmt_translator copy-scoring path, misc/nmt_translator.py:124-144):
+        """NORMALIZED collapsed copy mixing — this framework's own mode
+        (same CopyGenerator gate structure, onmt/modules/CopyGenerator.py):
 
             p(w) = (1 - p_copy) * softmax(Wh)[w]
                  + p_copy * sum_j attn_j * [src2tgt[src_j] == w]
 
-        src2tgt: [src_vocab] int map (Dict.align; unmapped -> UNK). The
-        reference scores unmapped copies in an extended dynamic vocab; here
-        they collapse onto UNK and get surface-replaced at decode time via
-        the attention-argmax UNK replacement.
+        src2tgt: [src_vocab] int map (Dict.align). Unmapped copy mass
+        collapses onto the mapped-to id (UNK if the caller maps unmapped
+        words there), keeping p a true distribution. For the reference's
+        exact decode-time scoring — UNK/PAD logits masked, unmapped copy
+        mass DROPPED, log of the sub-normalized result — use
+        `copy_generator_fold_logprobs` (exec-pinned).
         """
         logits = self.generator_logits(params, outputs)
         p_vocab = jax.nn.softmax(logits, axis=-1)
@@ -671,6 +673,92 @@ class NMTModel:
             copy_dist = jnp.einsum("bs,bsv->bv", copy_attns, one_hot)
         p = (1.0 - p_copy) * p_vocab + p_copy * copy_dist
         return jnp.log(jnp.maximum(p, 1e-20))
+
+    def copy_generator_fold_logprobs(self, params, outputs, copy_attns,
+                                     src_ids, src2tgt):
+        """The reference's own DECODE-time CopyGenerator scoring, exec-parity
+        form (onmt/modules/CopyGenerator.py:36-48 + the beam fold in
+        onmt/Translator.py:207-226 == misc/nmt_translator.py:124-144):
+
+            p_vocab = softmax(logits with UNK and PAD pinned to -inf)
+            out     = (1 - p_copy) * p_vocab
+            out[align[src_j]] += p_copy * attn_j    for align[src_j] != PAD
+            score   = log(out)        # UNNORMALIZED
+
+        Copy mass on UNMAPPED (PAD-aligned) source words is DROPPED, not
+        redistributed — the reference beam ranks hypotheses by the log of a
+        sub-normalized distribution. (Its fold loop reads `words[0, c]`, so
+        it is only correct at batchSize=1, the per-sentence shape its
+        translate CLIs always feed; this vectorized form folds each row
+        through its own source.) Exec-pinned against the fork's own
+        Translator.translateBatch in tests/test_ref_nmt_source_parity.py.
+
+        Contrast `copy_generator_logprobs` (normalized collapse onto the
+        align map) and `copy_generator_extended_logprobs` (extended dynamic
+        vocab) — those are this framework's own modes.
+
+        outputs [B(,T),rnn]; copy_attns [B(,T),S]; src_ids [B,S];
+        src2tgt [src_vocab] (Dict.align map, unmapped -> PAD).
+        """
+        logits = self.generator_logits(params, outputs)
+        neg = jnp.asarray(-jnp.inf, logits.dtype)
+        logits = logits.at[..., C.UNK].set(neg).at[..., C.PAD].set(neg)
+        p_vocab = jax.nn.softmax(logits, axis=-1)
+        p_copy = jax.nn.sigmoid(
+            linear(params["copy_gate"], outputs).astype(jnp.float32))
+        tgt_of_src = jnp.take(jnp.asarray(src2tgt), src_ids, axis=0)  # [B, S]
+        oh = (jax.nn.one_hot(tgt_of_src, self.tgt_vocab_size,
+                             dtype=jnp.float32)
+              * (tgt_of_src != C.PAD)[..., None])
+        attn = copy_attns.astype(jnp.float32)
+        if copy_attns.ndim == 3:                               # [B, T, S]
+            fold = jnp.einsum("bts,bsv->btv", attn, oh)
+        else:                                                  # [B, S]
+            fold = jnp.einsum("bs,bsv->bv", attn, oh)
+        p = (1.0 - p_copy) * p_vocab + p_copy * fold
+        return jnp.log(jnp.maximum(p, 1e-20))
+
+    def copy_train_loss(self, params, outputs, copy_attns, tgt_ids,
+                        align_mask, *, eps=1e-12):
+        """The reference's EXACT copy training criterion, exec-parity form
+        (CopyGenerator.forward :36-48 + CopyCriterion :64-70, driven by
+        MemoryEfficientLoss.compute_copy_loss, onmt/Loss.py:143-147):
+
+            out_prob = (1 - g) * softmax(logits with UNK/PAD at -inf)
+            copies   = (g * attn * align).sum(-1) + eps
+            loss     = -sum_nonpad log(out_prob[targ] + copies + eps)
+
+        n_correct scores argmax over out_prob (the fork's score() reads
+        scores_t BEFORE copy folding, Loss.py:129-137). align_mask
+        [B, T, S]: 1 where the gold token at step t is a copy of source
+        position j (batch.alignment). Returns (summed loss, NMTStats).
+        Exec-pinned vs the fork's own MemoryEfficientLoss in
+        tests/test_ref_fork_loss_parity.py.
+
+        (This is the reference's collapsed criterion; the framework's own
+        training mode is the extended-dynamic-vocab pair
+        extended_copy_targets + copy_generator_extended_logprobs.)
+        """
+        from ..losses.criterion import NMTStats
+
+        logits = self.generator_logits(params, outputs)
+        neg = jnp.asarray(-jnp.inf, logits.dtype)
+        logits = logits.at[..., C.UNK].set(neg).at[..., C.PAD].set(neg)
+        p_vocab = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        g = jax.nn.sigmoid(
+            linear(params["copy_gate"], outputs).astype(jnp.float32))
+        out_prob = (1.0 - g) * p_vocab
+        tg = tgt_ids.astype(jnp.int32)
+        p_targ = jnp.take_along_axis(out_prob, tg[..., None], axis=-1)[..., 0]
+        copies = jnp.sum(g * copy_attns.astype(jnp.float32)
+                         * align_mask.astype(jnp.float32), axis=-1) + eps
+        non_pad = (tg != C.PAD).astype(jnp.float32)
+        tok = jnp.log(p_targ + copies + eps) * non_pad
+        loss = -jnp.sum(tok)
+        pred = jnp.argmax(out_prob, axis=-1)
+        stats = NMTStats(loss, jnp.sum(non_pad),
+                         jnp.sum((pred == tg).astype(jnp.float32) * non_pad))
+        return loss, stats
 
     @staticmethod
     def src_first_occurrence(src_ids):
@@ -752,6 +840,34 @@ class NMTModel:
         return (jnp.where(is_ext, C.UNK, seq),
                 jnp.where(is_ext, seq - V, -1))
 
+    def gold_scores(self, params, src_ids, src_lengths, tgt_ids, *,
+                    src_feats=None):
+        """Per-sentence log-likelihood of gold targets (the fork
+        Translator.translateBatch step (2), onmt/Translator.py:152-170:
+        per-step gathered log-probs with PAD positions zeroed, summed).
+
+        The reference's own gold scoring cannot execute: the fork's block
+        reads `upper_bounds` before any assignment (Translator.py:159 —
+        NameError the moment `-tgt` is passed with a live model), and the
+        main repo's translateBatch/eval_utils leave goldScores at the
+        zeros they initialize (NMT_Models.py:334-335, eval_utils.py:111-113).
+        This implements the semantics the fork's `translate.py -tgt`
+        advertises (GOLD SCORE / GOLD PPL). Copy-attention gold scoring is
+        likewise broken upstream (the one-arg `generator.forward(dec_t)`
+        call cannot run a CopyGenerator); here the std generator path is
+        always used.
+
+        tgt_ids [B, T]: BOS ... EOS, PAD-padded. Returns [B] f32.
+        """
+        outs = self.forward(params, src_ids, src_lengths, tgt_ids,
+                            src_feats=src_feats)[0]
+        lp = jax.nn.log_softmax(
+            self.generator_logits(params, outs), axis=-1)   # [B, T-1, V]
+        gold = tgt_ids[:, 1:]
+        tok = jnp.take_along_axis(lp, gold[..., None].astype(jnp.int32),
+                                  axis=-1)[..., 0]
+        return jnp.sum(jnp.where(gold != C.PAD, tok, 0.0), axis=-1)
+
     def generator_logits(self, params, output):
         if self.share_decoder_embeddings:
             w = params["decoder"]["embeddings"]["word_lut"]
@@ -827,17 +943,22 @@ class NMTModel:
     def translate_batch(self, params, src_ids, src_lengths, *,
                         beam_size: Optional[int] = None,
                         n_best: int = 1, max_len: Optional[int] = None,
-                        src2tgt=None, src_feats=None, src_fertilities=None):
+                        src2tgt=None, src_feats=None, src_fertilities=None,
+                        copy_mode: str = "extended"):
         """Beam-translate a batch (parity: translateBatch :322-395).
 
         Returns BeamResult with seq [B, beam, T] (BOS excluded, EOS included,
         PAD after) and aux = per-step source-attention argmax for
         UNK replacement (buildTargetTokens parity, :312-320).
 
-        With copy_attn and a `src2tgt` align map, the beam runs over the
-        EXTENDED dynamic vocab (copy_generator_extended_logprobs): decoded
-        ids >= tgt_vocab_size are exact copies of source positions — split
-        them with `resolve_extended`.
+        With copy_attn and a `src2tgt` align map, `copy_mode` selects the
+        scoring: "extended" (default) runs the beam over the EXTENDED
+        dynamic vocab (copy_generator_extended_logprobs) — decoded ids
+        >= tgt_vocab_size are exact copies of source positions, split them
+        with `resolve_extended`; "fold" reproduces the reference's own
+        decode-time scoring (copy_generator_fold_logprobs: copy mass folded
+        onto align-mapped vocab ids, exec-pinned vs the fork's
+        Translator.translateBatch).
         """
         from ..ops.beam_search import onmt_beam_search
 
@@ -856,8 +977,10 @@ class NMTModel:
         src_mask = (jnp.arange(s)[None, :] < src_lengths[:, None]).astype(jnp.float32)
         ctx = {"context": context, "src_mask": src_mask}
         dec = self.decoder
-        extended = self.copy_attn and src2tgt is not None
-        if extended:
+        assert copy_mode in ("extended", "fold"), copy_mode
+        with_copy = self.copy_attn and src2tgt is not None
+        extended = with_copy and copy_mode == "extended"
+        if with_copy:
             ctx["src_ids"] = src_ids  # expanded with beams (cheap ints)
         src2tgt_c = None if src2tgt is None else jnp.asarray(src2tgt)
 
@@ -866,6 +989,9 @@ class NMTModel:
                                         src_mask=c["src_mask"])
             if extended:
                 return self.copy_generator_extended_logprobs(
+                    p, out, state["copy_attn"], c["src_ids"], src2tgt_c), state
+            if with_copy:  # copy_mode == "fold": reference decode scoring
+                return self.copy_generator_fold_logprobs(
                     p, out, state["copy_attn"], c["src_ids"], src2tgt_c), state
             logits = self.generator_logits(p, out)
             return jax.nn.log_softmax(logits, axis=-1), state

@@ -151,6 +151,17 @@ class TransformerNMTModel:
     def tgt_embedding(params):
         return params["tgt_embed"]
 
+    def gold_scores(self, params, src_ids, src_lengths, tgt_ids):
+        """Per-sentence gold log-likelihood — same semantics (and same
+        broken-upstream citation) as NMTModel.gold_scores."""
+        outs = self.forward(params, src_ids, src_lengths, tgt_ids)[0]
+        lp = jax.nn.log_softmax(
+            self.generator_logits(params, outs), axis=-1)
+        gold = tgt_ids[:, 1:]
+        tok = jnp.take_along_axis(lp, gold[..., None].astype(jnp.int32),
+                                  axis=-1)[..., 0]
+        return jnp.sum(jnp.where(gold != C.PAD, tok, 0.0), axis=-1)
+
     def forward(self, params, src_ids, src_lengths, tgt_ids, *,
                 training=False, rng=None):
         """Parallel teacher forcing. Returns (decoder outputs [B, T-1, d],
